@@ -1,0 +1,137 @@
+"""NN ensembles as a vmapped member axis (reference ``model_ensemble.py``).
+
+The reference trains ``ensemble_size`` independent NNs in a Python loop with
+seeds ``0..E-1`` and stores one weight file per member
+(``model_ensemble.py:69-83``); its forward pass averages **raw logits** over the
+first ``n_samples`` members (``model_ensemble.py:57-67``) — note the asymmetry
+with the BNN, which averages softmax *probabilities* (``model_bnn.py:257``).
+
+TPU-first design: members live in ONE stacked parameter pytree with a leading
+``(E, ...)`` axis. Training vmaps the whole per-member Adam step across the
+member axis — all members train simultaneously, turning E small matmuls into one
+batched matmul that actually fills the MXU. Member-parallelism can additionally
+be sharded across TPU cores (see :mod:`robustbnns_tpu.parallel`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from robustbnns_tpu.data.loaders import batch_arrays
+from robustbnns_tpu.models.architectures import Architecture, Params
+from robustbnns_tpu.models.nn import cross_entropy
+from robustbnns_tpu.utils.pytree import slice_tree
+from robustbnns_tpu.utils.timing import execution_time
+
+
+@dataclasses.dataclass
+class EnsembleNN:
+    """An ensemble: architecture + stacked ``(E, ...)`` parameter pytree."""
+
+    arch: Architecture
+    stacked_params: Params
+    ensemble_size: int
+
+    def member_logits(self, x: jax.Array, n_samples: int | None = None) -> jax.Array:
+        """Per-member logits ``(n, batch, classes)`` for the first n members."""
+        n = self.ensemble_size if n_samples is None else n_samples
+        if n > self.ensemble_size:
+            raise ValueError(
+                f"Maximum number of samples allowed is {self.ensemble_size}"
+            )
+        params_n = slice_tree(self.stacked_params, n)
+        return jax.vmap(self.arch.apply, in_axes=(0, None))(params_n, x)
+
+    def logits(self, x: jax.Array, n_samples: int | None = None) -> jax.Array:
+        """Mean of raw member logits (reference ``model_ensemble.py:64-67``)."""
+        return jnp.mean(self.member_logits(x, n_samples), axis=0)
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "optimizer", "batch_size"))
+def _ensemble_epoch(apply_fn, optimizer, batch_size, params_e, opt_state_e, x, y, keys):
+    """One epoch for ALL members in a single dispatch: vmap(member) ∘ scan(batches).
+
+    ``params_e`` has a leading member axis; every member shuffles its own batch
+    stream from its own key (reference ``model_ensemble.py:73-75`` reshuffles
+    per member). The shared dataset ``x``/``y`` is gathered per member inside
+    the jit — no per-member host work.
+    """
+
+    def one_member(params, opt_state, key):
+        perm = jax.random.permutation(key, x.shape[0])
+        xb, yb, mb = batch_arrays(x, y, batch_size, perm=perm)
+
+        def step(carry, batch):
+            params, opt_state = carry
+            bx, by, mask = batch
+            labels = jnp.argmax(by, axis=-1)
+
+            def loss_fn(p):
+                return cross_entropy(apply_fn(p, bx), labels, mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), (xb, yb, mb))
+        return params, opt_state, jnp.sum(losses)
+
+    return jax.vmap(one_member)(params_e, opt_state_e, keys)
+
+
+def train_ensemble(
+    arch: Architecture,
+    x_train,
+    y_train,
+    *,
+    ensemble_size: int,
+    epochs: int,
+    lr: float,
+    batch_size: int = 100,
+    verbose: bool = True,
+) -> EnsembleNN:
+    """Train all members simultaneously (vs the reference's serial loop).
+
+    Member ``i`` is initialized from seed ``i`` and sees its own per-epoch
+    shuffles, matching the reference's seeding scheme
+    (``model_ensemble.py:71-81``, ``model_nn.py:182-188``) while running all
+    members as one batched program.
+    """
+    member_keys = jax.vmap(jax.random.key)(jnp.arange(ensemble_size, dtype=jnp.uint32))
+    init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(member_keys)
+    shuffle_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(member_keys)
+
+    params_e = jax.vmap(arch.init)(init_keys)
+    optimizer = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state_e = jax.vmap(optimizer.init)(params_e)
+
+    x = jnp.asarray(x_train)
+    y = jnp.asarray(y_train)
+    n = x.shape[0]
+
+    start = time.time()
+    all_losses = []
+    for epoch in range(epochs):
+        epoch_keys = jax.vmap(lambda k: jax.random.fold_in(k, epoch))(shuffle_keys)
+        params_e, opt_state_e, losses = _ensemble_epoch(
+            arch.apply, optimizer, batch_size, params_e, opt_state_e, x, y, epoch_keys
+        )
+        all_losses.append(losses)
+    if verbose:
+        for epoch, losses in enumerate(all_losses):
+            print(
+                f"\n[Ensemble epoch {epoch + 1}] mean member loss: "
+                f"{float(jnp.mean(losses)) / n:.6f}",
+                end="\t",
+            )
+        execution_time(start=start, end=time.time())
+
+    return EnsembleNN(
+        arch=arch, stacked_params=params_e, ensemble_size=int(ensemble_size)
+    )

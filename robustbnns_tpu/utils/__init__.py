@@ -1,0 +1,27 @@
+from robustbnns_tpu.utils.prng import key_from_seed, keys_from_seeds, split_like
+from robustbnns_tpu.utils.pytree import (
+    normal_like_tree,
+    tree_size,
+    stack_trees,
+    index_tree,
+    slice_tree,
+    flatten_tree_to_vector,
+)
+from robustbnns_tpu.utils.checkpoint import save_pytree, load_pytree
+from robustbnns_tpu.utils.timing import execution_time, Timer
+
+__all__ = [
+    "key_from_seed",
+    "keys_from_seeds",
+    "split_like",
+    "normal_like_tree",
+    "tree_size",
+    "stack_trees",
+    "index_tree",
+    "slice_tree",
+    "flatten_tree_to_vector",
+    "save_pytree",
+    "load_pytree",
+    "execution_time",
+    "Timer",
+]

@@ -1,0 +1,39 @@
+"""PRNG discipline.
+
+The reference keeps reproducibility by setting global seeds
+(``pyro.set_rng_seed``, reference ``model_bnn.py:222-226,357-358``); in JAX the
+same capability is explicit keys. Two idioms from the reference map here:
+
+* *seeded posterior draws*: ``forward(..., seeds=[0..S-1])`` re-uses the same
+  posterior samples across calls (reference ``lossGradients.py:33``,
+  ``model_bnn.py:376``) → :func:`keys_from_seeds` derives one key per integer
+  seed, so seed ``i`` always selects the same draw;
+* *fresh draws per call*: ``forward`` without seeds (reference
+  ``adversarialAttacks.py:97``) → the caller threads/splits a key.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def key_from_seed(seed: int) -> jax.Array:
+    """A PRNG key deterministically derived from an integer seed."""
+    return jax.random.key(seed)
+
+
+def keys_from_seeds(seeds: Sequence[int] | jax.Array) -> jax.Array:
+    """A stacked ``(len(seeds),)`` key array, one key per integer seed.
+
+    Matches the reference semantics where the seed list *is* the identity of the
+    posterior draws: the same seed always yields the same sample.
+    """
+    seeds = jnp.asarray(seeds, dtype=jnp.uint32)
+    return jax.vmap(jax.random.key)(seeds)
+
+
+def split_like(key: jax.Array, n: int) -> jax.Array:
+    """``jax.random.split`` with a clearer name for fan-out over samples."""
+    return jax.random.split(key, n)
