@@ -5,6 +5,7 @@ from robustbnns_tpu.models.architectures import (
 )
 from robustbnns_tpu.models.nn import DeterministicNN, train_nn, evaluate_nn
 from robustbnns_tpu.models.ensemble import EnsembleNN, train_ensemble
+from robustbnns_tpu.models.bnn import BNN
 
 __all__ = [
     "Architecture",
@@ -15,4 +16,5 @@ __all__ = [
     "evaluate_nn",
     "EnsembleNN",
     "train_ensemble",
+    "BNN",
 ]

@@ -1,0 +1,295 @@
+"""The BNN model: configuration + inference engines + posterior predictive.
+
+Functional analogue of the reference's ``BNN(PyroModule)`` (``model_bnn.py:69``):
+the model is a dataclass holding the architecture and the trained posterior
+state — a :class:`MeanFieldPosterior` for SVI or a stacked ``(S, ...)``
+parameter pytree for HMC — with ``train`` / ``forward`` / ``evaluate`` /
+``save`` / ``load`` mirroring the reference surface.
+
+The probabilistic model is the reference's exactly (``model_bnn.py:105-119``):
+iid ``N(0,1)`` priors on every network parameter and a categorical likelihood
+on the logits under a data plate. Its HMC potential is
+
+    U(w) = 0.5·‖w‖² − Σ_i log softmax(f_w(x_i))[y_i]     (+ const)
+
+computed on a flat parameter vector so leapfrog steps are fused vector ops.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from robustbnns_tpu.config import BNNConfig, TESTS, bnn_batch_size
+from robustbnns_tpu.data.loaders import batch_arrays
+from robustbnns_tpu.inference.hmc import hmc_train_batched
+from robustbnns_tpu.inference.svi import MeanFieldPosterior, svi_train
+from robustbnns_tpu.models.architectures import Architecture, build_architecture
+from robustbnns_tpu.predict import (
+    hmc_predict,
+    resolve_sample_keys,
+    svi_avg_posterior_predict,
+    svi_predict,
+)
+from robustbnns_tpu.utils.checkpoint import load_pytree, save_pytree
+from robustbnns_tpu.utils.pytree import flatten_tree_to_vector
+
+
+@dataclasses.dataclass
+class BNN:
+    """A Bayesian neural network (SVI or HMC posterior over an architecture)."""
+
+    config: BNNConfig
+    arch: Architecture
+    n_inputs: Optional[int] = None
+    # Exactly one of these is set after training/loading:
+    posterior: Optional[MeanFieldPosterior] = None  # SVI
+    samples: Optional[object] = None  # HMC: stacked (S, ...) params pytree
+
+    # ------------------------------------------------------------------ #
+    # construction / identity
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_config(
+        cls,
+        config: BNNConfig,
+        input_shape,
+        output_size: int,
+        n_inputs: Optional[int] = None,
+    ) -> "BNN":
+        arch = build_architecture(
+            config.architecture,
+            config.activation,
+            input_shape,
+            output_size,
+            config.hidden_size,
+            dataset_name=config.dataset,
+        )
+        return cls(config=config, arch=arch, n_inputs=n_inputs)
+
+    @property
+    def name(self) -> str:
+        """Checkpoint identity string (reference ``model_bnn.py:90-103``)."""
+        return self.config.name(self.n_inputs)
+
+    # ------------------------------------------------------------------ #
+    # training
+    # ------------------------------------------------------------------ #
+
+    def train(
+        self,
+        x_train,
+        y_train,
+        *,
+        batch_size: Optional[int] = None,
+        seed: int = 0,
+        hmc_mode: str = "faithful",
+        num_chains: int = 1,
+        train_acc_samples: int = 10,
+        verbose: bool = True,
+    ) -> "BNN":
+        """Dispatch to the SVI or HMC engine (reference ``model_bnn.py:350-365``)."""
+        batch_size = batch_size or bnn_batch_size(self.config)
+
+        if self.config.inference == "svi":
+            self.posterior, self.history = svi_train(
+                self.arch,
+                x_train,
+                y_train,
+                epochs=self.config.epochs,
+                lr=self.config.lr,
+                batch_size=batch_size,
+                seed=seed,
+                train_acc_samples=train_acc_samples,
+                verbose=verbose,
+            )
+            return self
+
+        if self.config.inference == "hmc":
+            template = self.arch.init(jax.random.key(seed))
+            flat0, unravel = flatten_tree_to_vector(template)
+
+            x = jnp.asarray(x_train)
+            labels = jnp.argmax(jnp.asarray(y_train), axis=-1)
+
+            def potential_builder(bx, blabels):
+                def potential(q):
+                    params = unravel(q)
+                    logits = self.arch.apply(params, bx)
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    loglik = jnp.sum(
+                        jnp.take_along_axis(logp, blabels[:, None], axis=-1)
+                    )
+                    log_prior = -0.5 * jnp.sum(q * q)
+                    return -(log_prior + loglik)
+
+                return potential
+
+            # Reference batching: sequential full batches of `batch_size`
+            # (model_bnn.py:274-277); the ragged tail batch is included.
+            nb = -(-x.shape[0] // batch_size)
+            batches = [
+                (
+                    x[i * batch_size : (i + 1) * batch_size],
+                    labels[i * batch_size : (i + 1) * batch_size],
+                )
+                for i in range(nb)
+            ]
+
+            flat_samples, self.hmc_info = hmc_train_batched(
+                potential_builder,
+                batches,
+                flat0,
+                jax.random.key(seed),
+                n_samples=self.config.n_samples,
+                warmup=self.config.warmup,
+                step_size=self.config.step_size,
+                num_steps=self.config.num_steps,
+                mode=hmc_mode,
+                num_chains=num_chains,
+                verbose=verbose,
+            )
+            if num_chains > 1:
+                # Merge chains into one stacked sample axis.
+                flat_samples = flat_samples.reshape(-1, flat_samples.shape[-1])
+            self.samples = jax.vmap(unravel)(flat_samples)
+            return self
+
+        raise ValueError(f"unknown inference {self.config.inference!r}")
+
+    # ------------------------------------------------------------------ #
+    # posterior predictive (reference model_bnn.py:198-258)
+    # ------------------------------------------------------------------ #
+
+    def forward(
+        self,
+        x: jax.Array,
+        n_samples: int = 10,
+        *,
+        key: Optional[jax.Array] = None,
+        seeds: Optional[Sequence[int]] = None,
+        avg_posterior: bool = False,
+    ) -> jax.Array:
+        """Averaged softmax probabilities (or raw logits for ``avg_posterior``).
+
+        ``avg_posterior`` applies to SVI only; for HMC it is ignored exactly as
+        the reference ignores it in its HMC branch (``model_bnn.py:243-255``).
+        """
+        if self.config.inference == "svi":
+            if self.posterior is None:
+                raise ValueError("train() or load() the BNN first")
+            if avg_posterior:
+                return svi_avg_posterior_predict(self.arch, self.posterior, x)
+            sample_keys = resolve_sample_keys(n_samples, key, seeds)
+            return svi_predict(self.arch, self.posterior, x, sample_keys)
+
+        if self.samples is None:
+            raise ValueError("train() or load() the BNN first")
+        if seeds is None:
+            seeds = list(range(n_samples))  # reference model_bnn.py:248-249
+        elif len(seeds) != n_samples:
+            raise ValueError("Number of seeds should match number of samples.")
+        idx = jnp.asarray(seeds, dtype=jnp.int32)
+        return hmc_predict(self.arch, self.samples, x, idx)
+
+    def evaluate(
+        self,
+        x_test,
+        y_test,
+        *,
+        n_samples: int = 10,
+        seeds: Optional[Sequence[int]] = None,
+        batch_size: int = 128,
+        verbose: bool = True,
+    ) -> float:
+        """Posterior-predictive accuracy in percent (reference ``model_bnn.py:367-391``).
+
+        Defaults to seeded draws ``range(n_samples)`` like the reference
+        (``model_bnn.py:376``), so repeated evaluations are identical.
+        """
+        if seeds is None:
+            seeds = list(range(n_samples))
+        x = jnp.asarray(x_test)
+        y = jnp.asarray(y_test)
+        xb, yb, mb = batch_arrays(x, y, batch_size)
+
+        forward = self.predictive_fn(n_samples=n_samples, seeds=seeds)
+
+        @jax.jit
+        def count(xb, yb, mb):
+            def step(_, batch):
+                bx, by, mask = batch
+                probs = forward(bx)
+                correct = jnp.sum(
+                    (jnp.argmax(probs, -1) == jnp.argmax(by, -1)) * mask
+                )
+                return None, correct
+
+            _, cs = jax.lax.scan(step, None, (xb, yb, mb))
+            return jnp.sum(cs)
+
+        accuracy = 100.0 * float(count(xb, yb, mb)) / x.shape[0]
+        if verbose:
+            print("Accuracy: %.2f%%" % accuracy)
+        return accuracy
+
+    def predictive_fn(
+        self,
+        n_samples: int = 10,
+        *,
+        seeds: Optional[Sequence[int]] = None,
+        avg_posterior: bool = False,
+    ):
+        """A pure ``f(x[, key]) -> outputs`` closure for attacks/analysis.
+
+        With ``seeds`` (or ``avg_posterior``) the closure is ``f(x)`` —
+        deterministic. Without, it is ``f(x, key)`` and re-samples the
+        posterior per call, matching the reference's attack-time behaviour
+        (fresh guide traces every PGD iteration, ``adversarialAttacks.py:97``).
+        """
+        if avg_posterior or seeds is not None or self.config.inference == "hmc":
+            if self.config.inference == "hmc" and seeds is None and not avg_posterior:
+                seeds = list(range(n_samples))
+            if avg_posterior:
+                return lambda x: self.forward(x, n_samples, avg_posterior=True)
+            return lambda x: self.forward(x, n_samples, seeds=seeds)
+        return lambda x, key: self.forward(x, n_samples, key=key)
+
+    # ------------------------------------------------------------------ #
+    # persistence (reference model_bnn.py:138-196)
+    # ------------------------------------------------------------------ #
+
+    def _ckpt_path(self, rel_path: str, filename: Optional[str]) -> str:
+        filename = filename or (self.name + "_weights")
+        return os.path.join(rel_path, self.name, filename)
+
+    def save(self, rel_path: str = TESTS, filename: Optional[str] = None) -> str:
+        state = self.posterior if self.config.inference == "svi" else self.samples
+        if state is None:
+            raise ValueError("nothing to save — train() first")
+        path = save_pytree(
+            state,
+            self._ckpt_path(rel_path, filename),
+            meta={"name": self.name, "inference": self.config.inference},
+        )
+        print(f"\nSaving {path}")
+        return path
+
+    def load(self, rel_path: str = TESTS, filename: Optional[str] = None) -> "BNN":
+        path = self._ckpt_path(rel_path, filename)
+        template_params = self.arch.init(jax.random.key(0))
+        if self.config.inference == "svi":
+            template = MeanFieldPosterior(loc=template_params, rho=template_params)
+            self.posterior = load_pytree(template, path)
+        else:
+            template = jax.tree_util.tree_map(
+                lambda p: jnp.broadcast_to(p, (self.config.n_samples,) + p.shape),
+                template_params,
+            )
+            self.samples = load_pytree(template, path)
+        print(f"\nLoading {path}")
+        return self

@@ -51,6 +51,23 @@ class EnsembleNN:
         """Mean of raw member logits (reference ``model_ensemble.py:64-67``)."""
         return jnp.mean(self.member_logits(x, n_samples), axis=0)
 
+    def forward(self, x: jax.Array, n_samples: int | None = None, **_ignored):
+        """Duck-typed predictive surface: mean raw logits over n members."""
+        return self.logits(x, n_samples)
+
+    def predictive_fn(self, n_samples: int | None = None, **_ignored):
+        """A pure ``f(x) -> mean logits`` closure for attacks/analysis."""
+        n = self.ensemble_size if n_samples is None else n_samples
+        if n > self.ensemble_size:
+            raise ValueError(
+                f"Maximum number of samples allowed is {self.ensemble_size}"
+            )
+        params_n = slice_tree(self.stacked_params, n)
+        apply = self.arch.apply
+        return lambda x: jnp.mean(
+            jax.vmap(apply, in_axes=(0, None))(params_n, x), axis=0
+        )
+
 
 @partial(jax.jit, static_argnames=("apply_fn", "optimizer", "batch_size"))
 def _ensemble_epoch(apply_fn, optimizer, batch_size, params_e, opt_state_e, x, y, keys):

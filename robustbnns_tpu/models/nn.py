@@ -49,6 +49,20 @@ class DeterministicNN:
     def logits(self, x: jax.Array) -> jax.Array:
         return self.arch.apply(self.params, x)
 
+    def forward(self, x: jax.Array, n_samples=None, **_ignored) -> jax.Array:
+        """Duck-typed predictive surface shared with BNN/ensemble: raw logits.
+
+        Extra keyword arguments (``n_samples``/``avg_posterior``/...) are
+        accepted and ignored, mirroring the reference's ``NN.forward(*args,
+        **kwargs)`` signature (``model_nn.py:126``) that lets one attack
+        implementation serve every model type.
+        """
+        return self.arch.apply(self.params, x)
+
+    def predictive_fn(self, n_samples=None, **_ignored):
+        """A pure ``f(x) -> logits`` closure for attacks/analysis."""
+        return lambda x: self.arch.apply(self.params, x)
+
 
 @partial(jax.jit, static_argnames=("apply_fn", "optimizer", "batch_size"))
 def _train_epoch(apply_fn, optimizer, batch_size, params, opt_state, x, y, key):

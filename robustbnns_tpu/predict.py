@@ -1,0 +1,114 @@
+"""The unified posterior-predictive — one function serving NN, BNN and ensemble.
+
+Reference semantics (``BNN.forward``, ``model_bnn.py:198-258``; ``NN.forward``
+``model_nn.py:126``; ``Ensemble_NN.forward`` ``model_ensemble.py:57-67``):
+
+* **NN** — raw logits;
+* **SVI BNN** — average of per-sample **softmax probabilities** over
+  ``n_samples`` reparameterized guide draws (the guide returns softmax,
+  ``model_bnn.py:134-136``; draws are stacked and meaned,
+  ``model_bnn.py:257``). With ``seeds`` the draws are keyed per-seed so the
+  same seed always yields the same weights (``model_bnn.py:222-226``);
+* **SVI avg_posterior** — plug the variational means into the network and
+  return **raw logits** (``model_bnn.py:206-216``);
+* **HMC BNN** — index the stacked posterior by ``seeds`` (default
+  ``range(n_samples)``, ``model_bnn.py:248-249``), softmax each sample's
+  logits, average (``model_bnn.py:243-257``);
+* **Ensemble** — mean of **raw logits** over the first ``n_samples`` members
+  (``model_ensemble.py:63-67``) — deliberately asymmetric with the BNN's
+  probability averaging; kept faithfully because attack gradients differ.
+
+The reference loops Python-side over samples, re-running the network once per
+draw (``model_bnn.py:230-232``); here the sample axis is a ``vmap``, so S draws
+share one batched program on the MXU, and the per-draw weights for SVI are
+generated on the fly from ``(loc, rho, key)`` — no S weight copies in HBM.
+
+All predictive functions are pure and jittable; the ``forward`` methods on the
+model classes are thin conveniences over them.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from robustbnns_tpu.inference.svi import MeanFieldPosterior, sample_meanfield
+from robustbnns_tpu.models.architectures import Architecture, Params
+from robustbnns_tpu.utils.prng import keys_from_seeds
+from robustbnns_tpu.utils.pytree import index_tree
+
+
+def nn_predict(arch: Architecture, params: Params, x: jax.Array) -> jax.Array:
+    """Deterministic forward: raw logits (reference ``model_nn.py:126-141``)."""
+    return arch.apply(params, x)
+
+
+def svi_predict(
+    arch: Architecture,
+    posterior: MeanFieldPosterior,
+    x: jax.Array,
+    sample_keys: jax.Array,
+) -> jax.Array:
+    """Mean softmax over one reparameterized draw per key — ``(batch, classes)``.
+
+    ``sample_keys`` is a stacked ``(S,)`` key array: pass
+    ``jax.random.split(key, S)`` for fresh draws or
+    ``keys_from_seeds(seeds)`` for the reference's seeded repeatable draws.
+    """
+
+    def one(k):
+        w = sample_meanfield(posterior, k)
+        return jax.nn.softmax(arch.apply(w, x), axis=-1)
+
+    return jax.vmap(one)(sample_keys).mean(axis=0)
+
+
+def svi_avg_posterior_predict(
+    arch: Architecture, posterior: MeanFieldPosterior, x: jax.Array
+) -> jax.Array:
+    """Raw logits at the variational mean (reference ``model_bnn.py:206-216``)."""
+    return arch.apply(posterior.loc, x)
+
+
+def hmc_predict(
+    arch: Architecture,
+    stacked_params: Params,
+    x: jax.Array,
+    sample_idx: jax.Array,
+) -> jax.Array:
+    """Mean softmax over indexed posterior draws (reference ``model_bnn.py:243-257``)."""
+    params = index_tree(stacked_params, sample_idx)
+    probs = jax.vmap(
+        lambda p: jax.nn.softmax(arch.apply(p, x), axis=-1)
+    )(params)
+    return probs.mean(axis=0)
+
+
+def ensemble_predict(
+    arch: Architecture,
+    stacked_params: Params,
+    x: jax.Array,
+    n_samples: int,
+) -> jax.Array:
+    """Mean raw logits over the first n members (reference ``model_ensemble.py:63-67``)."""
+    params = jax.tree_util.tree_map(lambda p: p[:n_samples], stacked_params)
+    logits = jax.vmap(arch.apply, in_axes=(0, None))(params, x)
+    return logits.mean(axis=0)
+
+
+def resolve_sample_keys(
+    n_samples: int,
+    key: Optional[jax.Array],
+    seeds: Optional[Sequence[int]],
+) -> jax.Array:
+    """The reference's seeds-vs-fresh-draws rule (``model_bnn.py:198-232``)."""
+    if seeds is not None:
+        seeds = list(seeds)
+        if len(seeds) != n_samples:
+            raise ValueError("Number of seeds should match number of samples.")
+        return keys_from_seeds(seeds)
+    if key is None:
+        raise ValueError("pass either `key` (fresh draws) or `seeds`")
+    return jax.random.split(key, n_samples)

@@ -1,0 +1,158 @@
+"""HMC engine tests: energy conservation, reversibility, Gaussian recovery."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robustbnns_tpu.inference.hmc import (
+    HMCConfig,
+    _kinetic,
+    _leapfrog,
+    hmc_sample,
+    hmc_train_batched,
+)
+
+
+def _std_normal_potential(q):
+    return 0.5 * jnp.sum(q * q)
+
+
+def test_leapfrog_conserves_energy():
+    """Small-step leapfrog on a Gaussian conserves the Hamiltonian to O(eps^2)."""
+    key = jax.random.key(0)
+    q = jax.random.normal(key, (10,))
+    p = jax.random.normal(jax.random.key(1), (10,))
+    inv_mass = jnp.ones((10,))
+    h0 = _std_normal_potential(q) + _kinetic(p, inv_mass)
+    q1, p1 = _leapfrog(_std_normal_potential, q, p, 0.01, inv_mass, 50)
+    h1 = _std_normal_potential(q1) + _kinetic(p1, inv_mass)
+    assert abs(float(h1 - h0)) < 1e-3
+    # and the state actually moved
+    assert float(jnp.linalg.norm(q1 - q)) > 0.1
+
+
+def test_leapfrog_is_reversible():
+    """Integrating forward then backward (negated momentum) returns the start."""
+    q = jnp.array([1.0, -2.0, 0.5])
+    p = jnp.array([0.3, 0.1, -0.7])
+    inv_mass = jnp.ones((3,))
+    q1, p1 = _leapfrog(_std_normal_potential, q, p, 0.05, inv_mass, 20)
+    q2, p2 = _leapfrog(_std_normal_potential, q1, -p1, 0.05, inv_mass, 20)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(-p2), np.asarray(p), atol=1e-5)
+
+
+def test_hmc_recovers_standard_normal():
+    """Sampling N(0, I): moments must match."""
+    cfg = HMCConfig(num_samples=1500, warmup=300, step_size=0.2, num_steps=8)
+    samples, info = hmc_sample(
+        _std_normal_potential, jnp.zeros((4,)), jax.random.key(0), cfg
+    )
+    assert samples.shape == (1500, 4)
+    assert float(jnp.mean(info.accept_prob)) > 0.6
+    flat = np.asarray(samples).reshape(-1)
+    assert abs(flat.mean()) < 0.1
+    assert abs(flat.std() - 1.0) < 0.1
+
+
+def test_hmc_recovers_correlated_gaussian_mean():
+    """A shifted/scaled Gaussian: mean and marginal stds recovered."""
+    mean = jnp.array([1.0, -2.0])
+    scale = jnp.array([0.5, 2.0])
+
+    def potential(q):
+        z = (q - mean) / scale
+        return 0.5 * jnp.sum(z * z)
+
+    cfg = HMCConfig(num_samples=2000, warmup=1000, step_size=0.2, num_steps=8)
+    samples, _ = hmc_sample(potential, jnp.zeros((2,)), jax.random.key(42), cfg)
+    s = np.asarray(samples)
+    np.testing.assert_allclose(s.mean(0), np.asarray(mean), atol=0.15)
+    np.testing.assert_allclose(s.std(0), np.asarray(scale), rtol=0.25)
+
+
+def test_hmc_multi_chain_shapes():
+    cfg = HMCConfig(num_samples=50, warmup=20, step_size=0.2, num_chains=3)
+    samples, info = hmc_sample(
+        _std_normal_potential, jnp.zeros((4,)), jax.random.key(0), cfg
+    )
+    assert samples.shape == (3, 50, 4)
+    assert info.accept_prob.shape == (3, 50)
+
+
+def test_hmc_fixed_step_mode():
+    cfg = HMCConfig(
+        num_samples=100,
+        warmup=50,
+        step_size=0.25,
+        adapt_step_size=False,
+        adapt_mass_matrix=False,
+    )
+    samples, info = hmc_sample(
+        _std_normal_potential, jnp.zeros((2,)), jax.random.key(0), cfg
+    )
+    assert float(info.step_size) == pytest.approx(0.25)
+    np.testing.assert_array_equal(np.asarray(info.inv_mass), np.ones(2))
+
+
+def test_hmc_train_batched_faithful_resamples_last_batch():
+    """Faithful mode: n_samples draws resampled from the last batch's chain."""
+
+    def potential_builder(x, labels):
+        center = jnp.mean(x)
+
+        def potential(q):
+            return 0.5 * jnp.sum((q - center) ** 2)
+
+        return potential
+
+    batches = [
+        (jnp.full((4,), 0.0), jnp.zeros((4,), jnp.int32)),
+        (jnp.full((4,), 5.0), jnp.zeros((4,), jnp.int32)),
+    ]
+    samples, _ = hmc_train_batched(
+        potential_builder,
+        batches,
+        jnp.zeros((3,)),
+        jax.random.key(0),
+        n_samples=40,
+        warmup=100,
+        step_size=0.3,
+        num_steps=5,
+        mode="faithful",
+        verbose=False,
+    )
+    assert samples.shape == (40, 3)
+    # Conditioned only on the LAST batch (center 5.0), not the first.
+    assert abs(float(samples.mean()) - 5.0) < 1.0
+    # Resampling with replacement from 40//2+1=21 stored draws → duplicates.
+    assert len(np.unique(np.asarray(samples)[:, 0])) < 40
+
+
+def test_hmc_train_batched_full_mode_uses_all_data():
+    def potential_builder(x, labels):
+        center = jnp.mean(x)
+
+        def potential(q):
+            return 0.5 * jnp.sum((q - center) ** 2)
+
+        return potential
+
+    batches = [
+        (jnp.full((4,), 0.0), jnp.zeros((4,), jnp.int32)),
+        (jnp.full((4,), 5.0), jnp.zeros((4,), jnp.int32)),
+    ]
+    samples, _ = hmc_train_batched(
+        potential_builder,
+        batches,
+        jnp.zeros((3,)),
+        jax.random.key(0),
+        n_samples=200,
+        warmup=100,
+        step_size=0.3,
+        num_steps=5,
+        mode="full",
+        verbose=False,
+    )
+    # Full mode concatenates: center = 2.5.
+    assert abs(float(samples.mean()) - 2.5) < 0.5
