@@ -1,0 +1,17 @@
+from robustbnns_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    sharded_svi_step,
+    sharded_predict,
+    sharded_attack_grads,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "sharded_svi_step",
+    "sharded_predict",
+    "sharded_attack_grads",
+]

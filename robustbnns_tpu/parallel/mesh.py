@@ -1,0 +1,151 @@
+"""Device meshes and sharding rules — the framework's parallelism axes.
+
+The reference's entire parallelism surface is a ``--device cuda`` flag plus
+joblib process pools for grid cells (reference ``grid_search_halfMoons.py:52-60``
+— SURVEY §2.21). The TPU-native replacement is SPMD over a
+``jax.sharding.Mesh`` with two named axes that map to this workload's real
+scaling dimensions:
+
+* ``data`` — batch parallelism: training batches, attack sets and evaluation
+  sets shard their leading axis; gradient/metric reductions become XLA
+  ``psum`` collectives riding the ICI;
+* ``sample`` — posterior-sample / ensemble-member / HMC-chain parallelism: the
+  stacked sample axis shards so S posterior forwards (or C chains) run on
+  different cores simultaneously.
+
+These compose: a ``(data=4, sample=2)`` mesh on a v5e-8 runs every batch shard
+on 4 cores while splitting the predictive sample axis over 2. All functions
+here use ``jax.jit`` with ``in_shardings``/``out_shardings`` (pjit semantics):
+XLA inserts the collectives; nothing here hand-codes communication.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_sample: int = 1,
+    devices=None,
+) -> Mesh:
+    """A ``(data, sample)`` mesh over the available devices.
+
+    Defaults to all devices on the ``data`` axis — the right layout for the
+    dominant workloads (batched training/attacks).
+    """
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_sample
+    if n_data * n_sample != len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_sample} != {len(devices)} devices"
+        )
+    dev_array = np.asarray(devices).reshape(n_data, n_sample)
+    return Mesh(dev_array, axis_names=("data", "sample"))
+
+
+def shard_batch(x, mesh: Mesh):
+    """Place an array with its leading (batch) axis sharded over ``data``."""
+    return jax.device_put(x, NamedSharding(mesh, P("data")))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (parameters) across the whole mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+# --------------------------------------------------------------------------- #
+# Sharded compute paths
+# --------------------------------------------------------------------------- #
+
+
+def sharded_svi_step(arch, optimizer, mesh: Mesh):
+    """A data-parallel SVI step: batch sharded over ``data``, params replicated.
+
+    The ELBO is a sum over the batch plus a replicated KL; with the batch axis
+    sharded, XLA turns the loss/gradient reductions into ``psum`` over ICI —
+    the idiomatic equivalent of gradient all-reduce.
+    """
+    from robustbnns_tpu.inference.svi import elbo_loss
+
+    import optax
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, repl, batch_sharding, batch_sharding, repl),
+        out_shardings=(repl, repl, repl),
+        static_argnums=(),
+    )
+    def step(posterior, opt_state, x, labels, key):
+        loss, grads = jax.value_and_grad(
+            lambda p: elbo_loss(arch.apply, p, key, x, labels)
+        )(posterior)
+        updates, opt_state = optimizer.update(grads, opt_state, posterior)
+        posterior = optax.apply_updates(posterior, updates)
+        return posterior, opt_state, loss
+
+    return step
+
+
+def sharded_predict(arch, mesh: Mesh, n_samples: int):
+    """Posterior predictive with the sample axis sharded over ``sample``
+    and the batch axis over ``data``.
+
+    Covers SVI (keys in, draws generated shard-local — no cross-core weight
+    traffic) — the mean over samples is an XLA ``psum``-backed reduction.
+    """
+    from robustbnns_tpu.inference.svi import sample_meanfield
+
+    repl = NamedSharding(mesh, P())
+    batch_sharding = NamedSharding(mesh, P("data"))
+    key_sharding = NamedSharding(mesh, P("sample"))
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, batch_sharding, key_sharding),
+        out_shardings=batch_sharding,
+    )
+    def predict(posterior, x, sample_keys):
+        def one(k):
+            w = sample_meanfield(posterior, k)
+            return jax.nn.softmax(arch.apply(w, x), axis=-1)
+
+        return jax.vmap(one)(sample_keys).mean(axis=0)
+
+    return predict
+
+
+def sharded_attack_grads(forward_fn, mesh: Mesh):
+    """Input-gradient computation with the attack set sharded over ``data``.
+
+    The building block of sharded FGSM/PGD: each core differentiates its own
+    shard of images; there is no cross-shard communication at all (attacks are
+    embarrassingly batch-parallel), so scaling is linear in cores.
+    """
+    from robustbnns_tpu.attacks.gradient_attacks import ce_on_outputs
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        in_shardings=(batch_sharding, batch_sharding, repl),
+        out_shardings=batch_sharding,
+    )
+    def grads(x, labels, key):
+        def total(x):
+            return jnp.sum(ce_on_outputs(forward_fn(x, key), labels))
+
+        return jax.grad(total)(x)
+
+    return grads
