@@ -40,7 +40,6 @@ TPU-first design vs the reference's one-image-at-a-time tqdm loop (``:118``):
 """
 from __future__ import annotations
 
-import inspect
 import os
 from functools import partial
 from typing import Callable, Optional
@@ -51,18 +50,14 @@ import numpy as np
 
 from robustbnns_tpu.attacks.measures import softmax_robustness
 from robustbnns_tpu.config import TESTS
-from robustbnns_tpu.data.loaders import batch_arrays
 
 
 def _normalize_forward(forward_fn: Callable):
-    """Wrap ``f(x)`` or ``f(x, key)`` into a uniform ``f(x, key)``."""
-    try:
-        n_params = len(inspect.signature(forward_fn).parameters)
-    except (TypeError, ValueError):
-        n_params = 2
-    if n_params >= 2:
-        return forward_fn
-    return lambda x, key: forward_fn(x)
+    """Uniform ``f(x, key)`` wrapper, memoized on the closure so jitted attack
+    programs (keyed on the function object) compile once per configuration."""
+    from robustbnns_tpu.predict import normalize_forward
+
+    return normalize_forward(forward_fn)
 
 
 def ce_on_outputs(outputs: jax.Array, labels: jax.Array) -> jax.Array:
@@ -258,37 +253,21 @@ def attack_evaluation(
     Evaluation draws are seeded (``key`` defaults to seed 0, mirroring the
     reference's ``pyro.set_rng_seed(0)`` at ``:160-161``).
     """
+    from robustbnns_tpu.predict import batched_eval
+
     key = key if key is not None else jax.random.key(0)
-    forward_fn = _normalize_forward(model.predictive_fn(n_samples=n_samples))
+    forward_fn = model.predictive_fn(n_samples=n_samples)
     x = jnp.asarray(x_test)
     xa = jnp.asarray(x_attack)
     y = jnp.asarray(y_test)
-    labels = jnp.argmax(y, axis=-1)
-
-    def eval_set(inputs, subkey):
-        xb, yb, mb = batch_arrays(inputs, y, batch_size)
-        nb = xb.shape[0]
-        keys = jax.random.split(subkey, nb)
-
-        @jax.jit
-        def run(xb, yb, mb, keys):
-            def step(_, batch):
-                bx, by, mask, k = batch
-                out = forward_fn(bx, k)
-                correct = jnp.sum(
-                    (jnp.argmax(out, -1) == jnp.argmax(by, -1)) * mask
-                )
-                return None, (out, correct)
-
-            _, (outs, cs) = jax.lax.scan(step, None, (xb, yb, mb, keys))
-            return outs.reshape((-1,) + outs.shape[2:]), jnp.sum(cs)
-
-        outs, correct = run(xb, yb, mb, keys)
-        return outs[: inputs.shape[0]], correct
 
     k1, k2 = jax.random.split(key)
-    original_outputs, orig_correct = eval_set(x, k1)
-    adversarial_outputs, adv_correct = eval_set(xa, k2)
+    original_outputs, orig_correct = batched_eval(
+        forward_fn, x, y, batch_size=batch_size, key=k1
+    )
+    adversarial_outputs, adv_correct = batched_eval(
+        forward_fn, xa, y, batch_size=batch_size, key=k2
+    )
 
     original_accuracy = 100.0 * float(orig_correct) / x.shape[0]
     adversarial_accuracy = 100.0 * float(adv_correct) / x.shape[0]

@@ -118,15 +118,17 @@ def _load_mnist_like(dataset_name: str, npz_names: list[str], fallback: str):
     if path is not None:
         with np.load(path, allow_pickle=True) as f:
             return (f["x_train"], f["y_train"]), (f["x_test"], f["y_test"])
-    # keras will use its own cache or (if online) download.
-    try:
-        if dataset_name == "mnist":
-            from keras.datasets import mnist as ds
-        else:
-            from keras.datasets import fashion_mnist as ds
-        return ds.load_data()
-    except Exception:
-        pass
+    # The keras loader DOWNLOADS when its cache is empty, which can hang for
+    # minutes on an offline box — only attempt it when explicitly allowed.
+    if os.environ.get("ROBUSTBNNS_ALLOW_DOWNLOAD") == "1":
+        try:
+            if dataset_name == "mnist":
+                from keras.datasets import mnist as ds
+            else:
+                from keras.datasets import fashion_mnist as ds
+            return ds.load_data()
+        except Exception:
+            pass
     fallback = os.environ.get(_FALLBACK_ENV, fallback)
     if fallback == "synthetic":
         return _synthetic_image_dataset(dataset_name, 28, 28, 1, 60000, 10000)

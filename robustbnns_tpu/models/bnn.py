@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from robustbnns_tpu.config import BNNConfig, TESTS, bnn_batch_size
-from robustbnns_tpu.data.loaders import batch_arrays
 from robustbnns_tpu.inference.hmc import hmc_train_batched
 from robustbnns_tpu.inference.svi import MeanFieldPosterior, svi_train
 from robustbnns_tpu.models.architectures import Architecture, build_architecture
@@ -48,6 +47,9 @@ class BNN:
     # Exactly one of these is set after training/loading:
     posterior: Optional[MeanFieldPosterior] = None  # SVI
     samples: Optional[object] = None  # HMC: stacked (S, ...) params pytree
+    # Memoized predictive closures — one stable function object per
+    # (n_samples, seeds, avg_posterior) so downstream jits cache across calls.
+    _fn_cache: dict = dataclasses.field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------ #
     # construction / identity
@@ -213,26 +215,11 @@ class BNN:
         """
         if seeds is None:
             seeds = list(range(n_samples))
-        x = jnp.asarray(x_test)
-        y = jnp.asarray(y_test)
-        xb, yb, mb = batch_arrays(x, y, batch_size)
+        from robustbnns_tpu.predict import batched_eval
 
         forward = self.predictive_fn(n_samples=n_samples, seeds=seeds)
-
-        @jax.jit
-        def count(xb, yb, mb):
-            def step(_, batch):
-                bx, by, mask = batch
-                probs = forward(bx)
-                correct = jnp.sum(
-                    (jnp.argmax(probs, -1) == jnp.argmax(by, -1)) * mask
-                )
-                return None, correct
-
-            _, cs = jax.lax.scan(step, None, (xb, yb, mb))
-            return jnp.sum(cs)
-
-        accuracy = 100.0 * float(count(xb, yb, mb)) / x.shape[0]
+        _, correct = batched_eval(forward, x_test, y_test, batch_size=batch_size)
+        accuracy = 100.0 * float(correct) / len(x_test)
         if verbose:
             print("Accuracy: %.2f%%" % accuracy)
         return accuracy
@@ -250,14 +237,29 @@ class BNN:
         deterministic. Without, it is ``f(x, key)`` and re-samples the
         posterior per call, matching the reference's attack-time behaviour
         (fresh guide traces every PGD iteration, ``adversarialAttacks.py:97``).
+
+        Closures are memoized so repeated calls return the SAME function
+        object — jitted consumers (attacks, evaluation) that key their cache on
+        the closure then compile once per configuration, not once per call.
         """
-        if avg_posterior or seeds is not None or self.config.inference == "hmc":
-            if self.config.inference == "hmc" and seeds is None and not avg_posterior:
-                seeds = list(range(n_samples))
-            if avg_posterior:
-                return lambda x: self.forward(x, n_samples, avg_posterior=True)
-            return lambda x: self.forward(x, n_samples, seeds=seeds)
-        return lambda x, key: self.forward(x, n_samples, key=key)
+        if self.config.inference == "hmc" and seeds is None and not avg_posterior:
+            seeds = list(range(n_samples))
+        cache_key = (
+            n_samples,
+            tuple(seeds) if seeds is not None else None,
+            bool(avg_posterior),
+        )
+        if cache_key in self._fn_cache:
+            return self._fn_cache[cache_key]
+        if avg_posterior:
+            fn = lambda x: self.forward(x, n_samples, avg_posterior=True)
+        elif seeds is not None:
+            seeds_list = list(seeds)
+            fn = lambda x: self.forward(x, n_samples, seeds=seeds_list)
+        else:
+            fn = lambda x, key: self.forward(x, n_samples, key=key)
+        self._fn_cache[cache_key] = fn
+        return fn
 
     # ------------------------------------------------------------------ #
     # persistence (reference model_bnn.py:138-196)

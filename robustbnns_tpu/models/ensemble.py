@@ -15,6 +15,7 @@ be sharded across TPU cores (see :mod:`robustbnns_tpu.parallel`).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 
@@ -36,6 +37,43 @@ class EnsembleNN:
     arch: Architecture
     stacked_params: Params
     ensemble_size: int
+    name: str | None = None  # checkpoint identity (reference model_ensemble.py:26)
+    _fn_cache: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    def save(self, rel_path: str) -> str:
+        """Persist all members as ONE stacked checkpoint under
+        ``<name>/weights/`` (vs the reference's per-seed files,
+        ``model_ensemble.py:33-55``)."""
+        from robustbnns_tpu.utils.checkpoint import save_pytree
+
+        if self.name is None:
+            raise ValueError("set model.name before saving")
+        path = save_pytree(
+            self.stacked_params,
+            os.path.join(rel_path, self.name, "weights", f"{self.name}_stacked"),
+            meta={"ensemble_size": self.ensemble_size},
+        )
+        print("\nSaving: ", path)
+        return path
+
+    def load(self, rel_path: str):
+        from robustbnns_tpu.utils.checkpoint import load_pytree
+
+        if self.name is None:
+            raise ValueError("set model.name before loading")
+        template = (
+            self.stacked_params
+            if self.stacked_params is not None
+            else jax.vmap(self.arch.init)(
+                jax.vmap(jax.random.key)(
+                    jnp.arange(self.ensemble_size, dtype=jnp.uint32)
+                )
+            )
+        )
+        path = os.path.join(rel_path, self.name, "weights", f"{self.name}_stacked")
+        self.stacked_params = load_pytree(template, path)
+        print("\nLoading: ", path)
+        return self
 
     def member_logits(self, x: jax.Array, n_samples: int | None = None) -> jax.Array:
         """Per-member logits ``(n, batch, classes)`` for the first n members."""
@@ -56,17 +94,36 @@ class EnsembleNN:
         return self.logits(x, n_samples)
 
     def predictive_fn(self, n_samples: int | None = None, **_ignored):
-        """A pure ``f(x) -> mean logits`` closure for attacks/analysis."""
+        """A pure ``f(x) -> mean logits`` closure for attacks/analysis.
+
+        Memoized per member count so jitted consumers compile once.
+        """
         n = self.ensemble_size if n_samples is None else n_samples
         if n > self.ensemble_size:
             raise ValueError(
                 f"Maximum number of samples allowed is {self.ensemble_size}"
             )
-        params_n = slice_tree(self.stacked_params, n)
-        apply = self.arch.apply
-        return lambda x: jnp.mean(
-            jax.vmap(apply, in_axes=(0, None))(params_n, x), axis=0
-        )
+        if n not in self._fn_cache:
+            params_n = slice_tree(self.stacked_params, n)
+            apply = self.arch.apply
+            self._fn_cache[n] = lambda x: jnp.mean(
+                jax.vmap(apply, in_axes=(0, None))(params_n, x), axis=0
+            )
+        return self._fn_cache[n]
+
+    def evaluate(
+        self, x_test, y_test, *, n_samples: int | None = None,
+        batch_size: int = 64, verbose: bool = True,
+    ) -> float:
+        """Accuracy in percent (reference ``model_ensemble.py:85-106``)."""
+        from robustbnns_tpu.predict import batched_eval
+
+        fn = self.predictive_fn(n_samples)
+        _, correct = batched_eval(fn, x_test, y_test, batch_size=batch_size)
+        accuracy = 100.0 * float(correct) / len(x_test)
+        if verbose:
+            print("\nAccuracy: %.2f%%" % accuracy)
+        return accuracy
 
 
 @partial(jax.jit, static_argnames=("apply_fn", "optimizer", "batch_size"))
@@ -111,6 +168,7 @@ def train_ensemble(
     epochs: int,
     lr: float,
     batch_size: int = 100,
+    name: str | None = None,
     verbose: bool = True,
 ) -> EnsembleNN:
     """Train all members simultaneously (vs the reference's serial loop).
@@ -150,5 +208,8 @@ def train_ensemble(
         execution_time(start=start, end=time.time())
 
     return EnsembleNN(
-        arch=arch, stacked_params=params_e, ensemble_size=int(ensemble_size)
+        arch=arch,
+        stacked_params=params_e,
+        ensemble_size=int(ensemble_size),
+        name=name,
     )

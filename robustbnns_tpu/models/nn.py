@@ -17,6 +17,7 @@ Semantics preserved:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Optional
@@ -45,6 +46,37 @@ class DeterministicNN:
 
     arch: Architecture
     params: Params
+    name: Optional[str] = None  # checkpoint identity (reference model_nn.py:56)
+    _fn: object = dataclasses.field(default=None, repr=False)  # memoized closure
+
+    def save(self, rel_path: str, savedir: Optional[str] = None, seed=None) -> str:
+        """Persist weights under the reference's naming scheme
+        (``model_nn.py:143-151``): ``<dir>/<name>_weights[_<seed>].npz``."""
+        from robustbnns_tpu.utils.checkpoint import save_pytree
+
+        if self.name is None:
+            raise ValueError("set model.name before saving")
+        directory = savedir if savedir is not None else self.name
+        fname = f"{self.name}_weights" + (f"_{seed}" if seed is not None else "")
+        path = save_pytree(self.params, os.path.join(rel_path, directory, fname))
+        print("\nSaving: ", path)
+        return path
+
+    def load(self, rel_path: str, savedir: Optional[str] = None, seed=None):
+        """Load weights saved by :meth:`save` (``model_nn.py:158-168``)."""
+        from robustbnns_tpu.utils.checkpoint import load_pytree
+
+        if self.name is None:
+            raise ValueError("set model.name before loading")
+        directory = savedir if savedir is not None else self.name
+        fname = f"{self.name}_weights" + (f"_{seed}" if seed is not None else "")
+        path = os.path.join(rel_path, directory, fname)
+        template = self.params if self.params is not None else self.arch.init(
+            jax.random.key(0)
+        )
+        self.params = load_pytree(template, path)
+        print("\nLoading: ", path)
+        return self
 
     def logits(self, x: jax.Array) -> jax.Array:
         return self.arch.apply(self.params, x)
@@ -60,8 +92,14 @@ class DeterministicNN:
         return self.arch.apply(self.params, x)
 
     def predictive_fn(self, n_samples=None, **_ignored):
-        """A pure ``f(x) -> logits`` closure for attacks/analysis."""
-        return lambda x: self.arch.apply(self.params, x)
+        """A pure ``f(x) -> logits`` closure for attacks/analysis.
+
+        Memoized: repeated calls return the same function object so jitted
+        consumers compile once.
+        """
+        if self._fn is None:
+            self._fn = lambda x: self.arch.apply(self.params, x)
+        return self._fn
 
 
 @partial(jax.jit, static_argnames=("apply_fn", "optimizer", "batch_size"))
@@ -108,6 +146,7 @@ def train_nn(
     lr: float,
     batch_size: int = 64,
     seed: int = 0,
+    name: Optional[str] = None,
     verbose: bool = True,
 ) -> DeterministicNN:
     """Train a deterministic NN (reference ``model_nn.py:175-219``).
@@ -152,7 +191,7 @@ def train_nn(
             )
         execution_time(start=start, end=time.time())
 
-    return DeterministicNN(arch=arch, params=params)
+    return DeterministicNN(arch=arch, params=params, name=name)
 
 
 @partial(jax.jit, static_argnames=("apply_fn", "batch_size"))

@@ -29,6 +29,7 @@ model classes are thin conveniences over them.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -96,6 +97,59 @@ def ensemble_predict(
     params = jax.tree_util.tree_map(lambda p: p[:n_samples], stacked_params)
     logits = jax.vmap(arch.apply, in_axes=(0, None))(params, x)
     return logits.mean(axis=0)
+
+
+@partial(jax.jit, static_argnames=("forward_fn",))
+def _eval_scan(forward_fn, xb, yb, mb, keys):
+    """Scan batched forward + correct-count. Compiled once per closure object
+    (model predictive closures are memoized precisely so this cache hits)."""
+
+    def step(_, batch):
+        bx, by, mask, k = batch
+        out = forward_fn(bx, k)
+        correct = jnp.sum((jnp.argmax(out, -1) == jnp.argmax(by, -1)) * mask)
+        return None, (out, correct)
+
+    _, (outs, cs) = jax.lax.scan(step, None, (xb, yb, mb, keys))
+    return outs.reshape((-1,) + outs.shape[2:]), jnp.sum(cs)
+
+
+def normalize_forward(forward_fn):
+    """Wrap ``f(x)`` or ``f(x, key)`` into a uniform ``f(x, key)``, memoized."""
+    if getattr(forward_fn, "_rbnn_takes_key", False):
+        return forward_fn
+    import inspect
+
+    try:
+        n_params = len(inspect.signature(forward_fn).parameters)
+    except (TypeError, ValueError):
+        n_params = 2
+    if n_params >= 2:
+        forward_fn._rbnn_takes_key = True
+        return forward_fn
+    if not hasattr(forward_fn, "_rbnn_wrapped"):
+        wrapped = lambda x, key: forward_fn(x)
+        wrapped._rbnn_takes_key = True
+        forward_fn._rbnn_wrapped = wrapped
+    return forward_fn._rbnn_wrapped
+
+
+def batched_eval(forward_fn, x, y, *, batch_size: int = 128, key=None):
+    """Evaluate a predictive closure over a whole set as one jitted dispatch.
+
+    Returns ``(outputs, correct_count)`` with ``outputs`` truncated to the real
+    rows. Shared by model ``evaluate`` methods and ``attack_evaluation``.
+    """
+    from robustbnns_tpu.data.loaders import batch_arrays
+
+    fn = normalize_forward(forward_fn)
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    key = key if key is not None else jax.random.key(0)
+    xb, yb, mb = batch_arrays(x, y, batch_size)
+    keys = jax.random.split(key, xb.shape[0])
+    outs, correct = _eval_scan(fn, xb, yb, mb, keys)
+    return outs[: x.shape[0]], correct
 
 
 def resolve_sample_keys(

@@ -1,0 +1,131 @@
+"""Sharded-path tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from robustbnns_tpu.inference.svi import elbo_loss, init_meanfield
+from robustbnns_tpu.models import build_architecture
+from robustbnns_tpu.parallel import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    sharded_attack_grads,
+    sharded_predict,
+    sharded_svi_step,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(n_data=4, n_sample=2)
+
+
+@pytest.fixture(scope="module")
+def small_arch():
+    return build_architecture("fc", "relu", (1, 2, 1), 2, 16)
+
+
+def test_make_mesh_shapes():
+    m = make_mesh(n_data=8, n_sample=1)
+    assert m.devices.shape == (8, 1)
+    m2 = make_mesh(n_sample=2)
+    assert m2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh(n_data=3, n_sample=2)
+
+
+def test_shard_batch_places_leading_axis(mesh8):
+    x = jnp.arange(32.0).reshape(32, 1)
+    xs = shard_batch(x, mesh8)
+    assert len(xs.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+
+def test_sharded_svi_step_matches_single_device(mesh8, small_arch):
+    """The data-parallel step must produce the same loss/update as unsharded."""
+    arch = small_arch
+    posterior = init_meanfield(jax.random.key(0), arch.init(jax.random.key(1)))
+    optimizer = optax.adam(0.01)
+    opt_state = optimizer.init(posterior)
+
+    x = jax.random.uniform(jax.random.key(2), (32, 1, 2, 1))
+    labels = jnp.zeros((32,), jnp.int32)
+    key = jax.random.key(3)
+
+    # sharded
+    step = sharded_svi_step(arch, optimizer, mesh8)
+    p_sh = replicate(posterior, mesh8)
+    o_sh = replicate(opt_state, mesh8)
+    p1, o1, loss_sharded = step(p_sh, o_sh, shard_batch(x, mesh8),
+                                shard_batch(labels, mesh8), key)
+
+    # single-device reference
+    loss_ref, grads = jax.value_and_grad(
+        lambda p: elbo_loss(arch.apply, p, key, x, labels)
+    )(posterior)
+    updates, _ = optimizer.update(grads, opt_state, posterior)
+    p_ref = optax.apply_updates(posterior, updates)
+
+    assert float(loss_sharded) == pytest.approx(float(loss_ref), rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p_ref)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_predict_matches_unsharded(mesh8, small_arch):
+    from robustbnns_tpu.predict import svi_predict
+
+    arch = small_arch
+    posterior = init_meanfield(jax.random.key(0), arch.init(jax.random.key(1)))
+    x = jax.random.uniform(jax.random.key(2), (16, 1, 2, 1))
+    n_samples = 4
+    keys = jax.random.split(jax.random.key(5), n_samples)
+
+    predict = sharded_predict(arch, mesh8, n_samples)
+    keys_sharded = jax.device_put(
+        keys,
+        jax.sharding.NamedSharding(mesh8, jax.sharding.PartitionSpec("sample")),
+    )
+    probs_sharded = predict(
+        replicate(posterior, mesh8), shard_batch(x, mesh8), keys_sharded
+    )
+    probs_ref = svi_predict(arch, posterior, x, keys)
+    np.testing.assert_allclose(
+        np.asarray(probs_sharded), np.asarray(probs_ref), atol=1e-6
+    )
+
+
+def test_sharded_attack_grads_match(mesh8, small_arch):
+    from robustbnns_tpu.attacks.gradient_attacks import ce_on_outputs
+
+    arch = small_arch
+    params = arch.init(jax.random.key(0))
+    fwd = lambda x, key: arch.apply(params, x)
+
+    x = jax.random.uniform(jax.random.key(2), (32, 1, 2, 1))
+    labels = jnp.zeros((32,), jnp.int32)
+
+    g_sharded = sharded_attack_grads(fwd, mesh8)(
+        shard_batch(x, mesh8), shard_batch(labels, mesh8), jax.random.key(0)
+    )
+    g_ref = jax.grad(
+        lambda xx: jnp.sum(ce_on_outputs(arch.apply(params, xx), labels))
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref), atol=1e-6)
+
+
+def test_graft_entry_contract():
+    """The driver contract file works on the virtual mesh."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as graft
+
+    fn, args = graft.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (128, 10)
+    graft.dryrun_multichip(8)
