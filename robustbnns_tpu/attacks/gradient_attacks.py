@@ -166,6 +166,7 @@ def attack(
     epsilon: float = 0.3,
     n_samples: Optional[int] = None,
     avg_posterior: bool = False,
+    fused: bool = False,
     key: Optional[jax.Array] = None,
     batch_size: int = 128,
     filename: Optional[str] = None,
@@ -178,15 +179,17 @@ def attack(
 
     ``model`` is anything with ``predictive_fn(n_samples, avg_posterior=...)``
     — NN, BNN or ensemble. Batches are processed as jitted device programs
-    instead of the reference's per-image Python loop.
+    instead of the reference's per-image Python loop. ``fused=True`` selects
+    the Pallas fused predictive (SVI fc/fc2 — the TPU throughput path).
     """
     if verbose:
         print(f"\nProducing {method} attacks:")
     x = jnp.asarray(x_test)
     y = jnp.asarray(y_test)
     key = key if key is not None else jax.random.key(0)
+    kwargs = {"fused": True} if fused else {}
     forward_fn = model.predictive_fn(
-        n_samples=n_samples, avg_posterior=avg_posterior
+        n_samples=n_samples, avg_posterior=avg_posterior, **kwargs
     )
 
     chunks = []

@@ -230,6 +230,7 @@ class BNN:
         *,
         seeds: Optional[Sequence[int]] = None,
         avg_posterior: bool = False,
+        fused: bool = False,
     ):
         """A pure ``f(x[, key]) -> outputs`` closure for attacks/analysis.
 
@@ -241,9 +242,31 @@ class BNN:
         Closures are memoized so repeated calls return the SAME function
         object — jitted consumers (attacks, evaluation) that key their cache on
         the closure then compile once per configuration, not once per call.
+
+        ``fused=True`` (SVI + fc/fc2 only, fresh-draw mode) routes through the
+        Pallas fused sampled-dense kernels — the TPU throughput path for
+        Bayesian attacks; draws come from the in-kernel PRNG stream (same
+        distribution, different stream than the XLA path).
         """
         if self.config.inference == "hmc" and seeds is None and not avg_posterior:
             seeds = list(range(n_samples))
+        if fused:
+            if self.config.inference != "svi" or avg_posterior or seeds is not None:
+                raise ValueError(
+                    "fused predictive supports SVI fresh-draw mode only"
+                )
+            from robustbnns_tpu.ops import fused_predictive_fn, supports_fused
+
+            if not supports_fused(self.arch):
+                raise NotImplementedError(
+                    "fused predictive supports fc/fc2 architectures"
+                )
+            cache_key = ("fused", n_samples)
+            if cache_key not in self._fn_cache:
+                self._fn_cache[cache_key] = fused_predictive_fn(
+                    self.arch, self.posterior, n_samples
+                )
+            return self._fn_cache[cache_key]
         cache_key = (
             n_samples,
             tuple(seeds) if seeds is not None else None,

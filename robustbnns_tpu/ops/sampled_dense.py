@@ -135,12 +135,13 @@ def _interpret():
     return pltpu.InterpretParams()
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def sampled_dense(x, loc, rho, bloc, brho, n_samples: int, seed: int = 0):
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def sampled_dense(x, loc, rho, bloc, brho, n_samples: int, seed=0):
     """``(S, B, O)`` outputs of S sampled dense layers (see module docstring).
 
     ``x``: (B, I); ``loc``/``rho``: (I, O); ``bloc``/``brho``: (O,).
-    ``n_samples``/``seed`` are static.
+    ``n_samples`` is static; ``seed`` may be a Python int or a traced int32
+    scalar (so attack loops can vary the draws per scan iteration).
     """
     return _sampled_dense_fwd_impl(x, loc, rho, bloc, brho, n_samples, seed)
 
@@ -169,7 +170,7 @@ def _sampled_dense_fwd_impl(x, loc, rho, bloc, brho, n_samples, seed):
         out_shape=jax.ShapeDtypeStruct((n_samples, b_dim, o_dim), jnp.float32),
         interpret=_interpret(),
     )(
-        jnp.asarray([seed], jnp.int32),
+        jnp.asarray(seed, jnp.int32).reshape(1),
         x.astype(jnp.float32),
         loc.astype(jnp.float32),
         rho.astype(jnp.float32),
@@ -181,11 +182,11 @@ def _sampled_dense_fwd_impl(x, loc, rho, bloc, brho, n_samples, seed):
 
 def _sampled_dense_fwd(x, loc, rho, bloc, brho, n_samples, seed):
     out = _sampled_dense_fwd_impl(x, loc, rho, bloc, brho, n_samples, seed)
-    return out, (x, loc, rho, brho)
+    return out, (x, loc, rho, brho, seed)
 
 
-def _sampled_dense_bwd(n_samples, seed, residuals, g):
-    x, loc, rho, brho = residuals
+def _sampled_dense_bwd(n_samples, residuals, g):
+    x, loc, rho, brho, seed = residuals
     b_dim, i_dim = x.shape
     o_dim = loc.shape[1]
     o_t = _pick_o_tile(o_dim)
@@ -221,14 +222,23 @@ def _sampled_dense_bwd(n_samples, seed, residuals, g):
         ],
         interpret=_interpret(),
     )(
-        jnp.asarray([seed], jnp.int32),
+        jnp.asarray(seed, jnp.int32).reshape(1),
         g.astype(jnp.float32),
         x.astype(jnp.float32),
         loc.astype(jnp.float32),
         rho.astype(jnp.float32),
         brho.reshape(1, -1).astype(jnp.float32),
     )
-    return dx, dloc, drho, dbloc.reshape(-1), dbrho.reshape(-1)
+    return dx, dloc, drho, dbloc.reshape(-1), dbrho.reshape(-1), _seed_zero(seed)
+
+
+def _seed_zero(seed):
+    """Symbolic-zero cotangent for the (integer) seed argument."""
+    import numpy as _np
+
+    if isinstance(seed, (int, _np.integer)):
+        return _np.zeros((), jax.dtypes.float0)
+    return _np.zeros(jnp.shape(seed), jax.dtypes.float0)
 
 
 sampled_dense.defvjp(_sampled_dense_fwd, _sampled_dense_bwd)
@@ -250,3 +260,190 @@ def sampled_dense_reference(x, loc, rho, bloc, brho, n_samples, key):
         return x @ w + b
 
     return jax.vmap(one)(keys)
+
+
+# --------------------------------------------------------------------------- #
+# Per-sample-input variant: xs has a leading sample axis (hidden layers of a
+# fused multi-layer predictive — each draw sees its own activations).
+# --------------------------------------------------------------------------- #
+
+
+def _fwd_kernel_xs(seed_ref, x_ref, loc_ref, rho_ref, bloc_ref, brho_ref, out_ref):
+    o = pl.program_id(0)
+    s = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + s * pl.num_programs(0) + o)
+
+    i_dim = loc_ref.shape[0]
+    o_t = loc_ref.shape[1]
+    eps = _normal_from_bits((i_dim + 8, o_t))
+    w = loc_ref[:] + _softplus(rho_ref[:]) * eps[:i_dim]
+    b = bloc_ref[0, :] + _softplus(brho_ref[0, :]) * eps[i_dim]
+
+    y = jnp.dot(x_ref[0], w, preferred_element_type=jnp.float32)
+    out_ref[0, :, :] = y + b[None, :]
+
+
+def _bwd_xs_dx_kernel(seed_ref, g_ref, loc_ref, rho_ref, dx_ref):
+    """dxs[s] = g[s] @ W_s^T. Grid (s, o): the dxs block is constant across the
+    inner o sweep, so += accumulation over o tiles is sound (Pallas output
+    blocks must not be revisited after their index changes)."""
+    s = pl.program_id(0)
+    o = pl.program_id(1)
+    num_o = pl.num_programs(1)
+    pltpu.prng_seed(seed_ref[0] + s * num_o + o)
+
+    i_dim = loc_ref.shape[0]
+    o_t = loc_ref.shape[1]
+    eps = _normal_from_bits((i_dim + 8, o_t))
+    w = loc_ref[:] + _softplus(rho_ref[:]) * eps[:i_dim]
+
+    @pl.when(o == 0)
+    def _():
+        dx_ref[0] = jnp.zeros_like(dx_ref[0])
+
+    dx_ref[0] += jnp.dot(g_ref[0], w.T, preferred_element_type=jnp.float32)
+
+
+def _bwd_xs_dparams_kernel(
+    seed_ref, g_ref, x_ref, rho_ref, brho_ref,
+    dloc_ref, drho_ref, dbloc_ref, dbrho_ref,
+):
+    """Parameter cotangents. Grid (o, s): each dloc/drho block is constant
+    across the inner s sweep, so += accumulation over samples is sound."""
+    o = pl.program_id(0)
+    s = pl.program_id(1)
+    num_o = pl.num_programs(0)
+    pltpu.prng_seed(seed_ref[0] + s * num_o + o)
+
+    i_dim = rho_ref.shape[0]
+    o_t = rho_ref.shape[1]
+    eps = _normal_from_bits((i_dim + 8, o_t))
+    w_eps = eps[:i_dim]
+    b_eps = eps[i_dim]
+
+    g = g_ref[0]
+    dW = jnp.dot(x_ref[0].T, g, preferred_element_type=jnp.float32)
+    db = jnp.sum(g, axis=0)
+
+    @pl.when(s == 0)
+    def _():
+        dloc_ref[:] = jnp.zeros_like(dloc_ref)
+        drho_ref[:] = jnp.zeros_like(drho_ref)
+        dbloc_ref[:] = jnp.zeros_like(dbloc_ref)
+        dbrho_ref[:] = jnp.zeros_like(dbrho_ref)
+
+    dloc_ref[:] += dW
+    drho_ref[:] += dW * w_eps * jax.nn.sigmoid(rho_ref[:])
+    dbloc_ref[0, :] += db
+    dbrho_ref[0, :] += db * b_eps * jax.nn.sigmoid(brho_ref[0, :])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def sampled_dense_xs(xs, loc, rho, bloc, brho, n_samples: int, seed=0):
+    """Per-sample-input sampled dense: ``y[s] = xs[s] @ W_s + b_s``.
+
+    ``xs``: (S, B, I). Same fused-noise design as :func:`sampled_dense`.
+    """
+    return _sampled_dense_xs_fwd_impl(xs, loc, rho, bloc, brho, n_samples, seed)
+
+
+def _sampled_dense_xs_fwd_impl(xs, loc, rho, bloc, brho, n_samples, seed):
+    s_dim, b_dim, i_dim = xs.shape
+    assert s_dim == n_samples
+    o_dim = loc.shape[1]
+    o_t = _pick_o_tile(o_dim)
+    num_o = o_dim // o_t
+
+    return pl.pallas_call(
+        _fwd_kernel_xs,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_o, n_samples),
+            in_specs=[
+                pl.BlockSpec((1, b_dim, i_dim), lambda o, s, *_: (s, 0, 0)),
+                pl.BlockSpec((i_dim, o_t), lambda o, s, *_: (0, o)),
+                pl.BlockSpec((i_dim, o_t), lambda o, s, *_: (0, o)),
+                pl.BlockSpec((1, o_t), lambda o, s, *_: (0, o)),
+                pl.BlockSpec((1, o_t), lambda o, s, *_: (0, o)),
+            ],
+            out_specs=pl.BlockSpec((1, b_dim, o_t), lambda o, s, *_: (s, 0, o)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_samples, b_dim, o_dim), jnp.float32),
+        interpret=_interpret(),
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        xs.astype(jnp.float32),
+        loc.astype(jnp.float32),
+        rho.astype(jnp.float32),
+        bloc.reshape(1, -1).astype(jnp.float32),
+        brho.reshape(1, -1).astype(jnp.float32),
+    )
+
+
+def _sampled_dense_xs_fwd(xs, loc, rho, bloc, brho, n_samples, seed):
+    out = _sampled_dense_xs_fwd_impl(xs, loc, rho, bloc, brho, n_samples, seed)
+    return out, (xs, loc, rho, brho, seed)
+
+
+def _sampled_dense_xs_bwd(n_samples, residuals, g):
+    xs, loc, rho, brho, seed = residuals
+    s_dim, b_dim, i_dim = xs.shape
+    o_dim = loc.shape[1]
+    o_t = _pick_o_tile(o_dim)
+    num_o = o_dim // o_t
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    # Pass 1: dxs (grid s-major so each dxs block accumulates consecutively).
+    dxs = pl.pallas_call(
+        _bwd_xs_dx_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_samples, num_o),
+            in_specs=[
+                pl.BlockSpec((1, b_dim, o_t), lambda s, o, *_: (s, 0, o)),
+                pl.BlockSpec((i_dim, o_t), lambda s, o, *_: (0, o)),
+                pl.BlockSpec((i_dim, o_t), lambda s, o, *_: (0, o)),
+            ],
+            out_specs=pl.BlockSpec((1, b_dim, i_dim), lambda s, o, *_: (s, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_samples, b_dim, i_dim), jnp.float32),
+        interpret=_interpret(),
+    )(seed_arr, g.astype(jnp.float32), loc.astype(jnp.float32), rho.astype(jnp.float32))
+
+    # Pass 2: parameter cotangents (grid o-major so they accumulate over s).
+    dloc, drho, dbloc, dbrho = pl.pallas_call(
+        _bwd_xs_dparams_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_o, n_samples),
+            in_specs=[
+                pl.BlockSpec((1, b_dim, o_t), lambda o, s, *_: (s, 0, o)),
+                pl.BlockSpec((1, b_dim, i_dim), lambda o, s, *_: (s, 0, 0)),
+                pl.BlockSpec((i_dim, o_t), lambda o, s, *_: (0, o)),
+                pl.BlockSpec((1, o_t), lambda o, s, *_: (0, o)),
+            ],
+            out_specs=[
+                pl.BlockSpec((i_dim, o_t), lambda o, s, *_: (0, o)),
+                pl.BlockSpec((i_dim, o_t), lambda o, s, *_: (0, o)),
+                pl.BlockSpec((1, o_t), lambda o, s, *_: (0, o)),
+                pl.BlockSpec((1, o_t), lambda o, s, *_: (0, o)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((i_dim, o_dim), jnp.float32),
+            jax.ShapeDtypeStruct((i_dim, o_dim), jnp.float32),
+            jax.ShapeDtypeStruct((1, o_dim), jnp.float32),
+            jax.ShapeDtypeStruct((1, o_dim), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(
+        seed_arr,
+        g.astype(jnp.float32),
+        xs.astype(jnp.float32),
+        rho.astype(jnp.float32),
+        brho.reshape(1, -1).astype(jnp.float32),
+    )
+    return dxs, dloc, drho, dbloc.reshape(-1), dbrho.reshape(-1), _seed_zero(seed)
+
+
+sampled_dense_xs.defvjp(_sampled_dense_xs_fwd, _sampled_dense_xs_bwd)

@@ -126,3 +126,105 @@ def test_grad_consistency_fwd_bwd_same_noise(layer):
     fd = (f(x + eps * v) - f(x - eps * v)) / (2 * eps)
     analytic = jnp.sum(g * v)
     assert float(jnp.abs(fd - analytic)) / (abs(float(fd)) + 1e-6) < 2e-2
+
+
+# --------------------------------------------------------------------------- #
+# per-sample-x variant + fused multi-layer predictive
+# --------------------------------------------------------------------------- #
+
+
+def test_xs_variant_zero_scale_exact(layer):
+    from robustbnns_tpu.ops import sampled_dense_xs
+
+    x, loc, _, bloc, _ = layer
+    neg = jnp.full_like(loc, -30.0)
+    negb = jnp.full((loc.shape[1],), -30.0)
+    xs = jnp.stack([x, x * 2.0, x * 3.0])
+    out = sampled_dense_xs(xs, loc, neg, bloc, negb, 3, 0)
+    for s, scale in enumerate([1.0, 2.0, 3.0]):
+        np.testing.assert_allclose(
+            np.asarray(out[s]), np.asarray(scale * x @ loc + bloc), atol=1e-3
+        )
+
+
+def test_xs_variant_vjp_zero_scale(layer):
+    from robustbnns_tpu.ops import sampled_dense_xs
+
+    x, loc, _, bloc, _ = layer
+    neg = jnp.full_like(loc, -30.0)
+    negb = jnp.full((loc.shape[1],), -30.0)
+    xs = jnp.stack([x, x])
+
+    def f(xs):
+        return jnp.sum(sampled_dense_xs(xs, loc, neg, bloc, negb, 2, 0) ** 2)
+
+    def f_ref(xs):
+        return jnp.sum((jnp.einsum("sbi,io->sbo", xs, loc) + bloc) ** 2)
+
+    g = jax.grad(f)(xs)
+    g_ref = jax.grad(f_ref)(xs)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-3)
+
+
+def test_xs_variant_fd_with_noise(layer):
+    from robustbnns_tpu.ops import sampled_dense_xs
+
+    x, loc, rho, bloc, brho = layer
+    xs = jnp.stack([x, x * 0.5])
+
+    def f(xs):
+        return jnp.sum(sampled_dense_xs(xs, loc, rho, bloc, brho, 2, 3) ** 2)
+
+    g = jax.grad(f)(xs)
+    v = jax.random.normal(jax.random.key(4), xs.shape)
+    eps = 1e-3
+    fd = (f(xs + eps * v) - f(xs - eps * v)) / (2 * eps)
+    an = jnp.sum(g * v)
+    assert float(jnp.abs(fd - an)) / (abs(float(fd)) + 1e-6) < 2e-2
+
+
+def test_fused_predict_matches_xla_in_zero_scale_limit():
+    """With scale→0 the fused predictive must equal the deterministic net."""
+    from robustbnns_tpu.inference.svi import MeanFieldPosterior
+    from robustbnns_tpu.models import build_architecture
+    from robustbnns_tpu.ops import svi_predict_fused
+
+    arch = build_architecture("fc2", "leaky", (16, 16, 1), 10, 32)
+    params = arch.init(jax.random.key(0))
+    neg = jax.tree_util.tree_map(lambda p: jnp.full_like(p, -30.0), params)
+    posterior = MeanFieldPosterior(loc=params, rho=neg)
+
+    x = jax.random.uniform(jax.random.key(1), (8, 16, 16, 1))
+    probs = svi_predict_fused(arch, posterior, x, n_samples=4, seed=0)
+    expected = jax.nn.softmax(arch.apply(params, x), axis=-1)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(expected), atol=1e-4)
+
+
+def test_fused_predict_rejects_conv():
+    from robustbnns_tpu.inference.svi import init_meanfield
+    from robustbnns_tpu.models import build_architecture
+    from robustbnns_tpu.ops import svi_predict_fused
+
+    arch = build_architecture("conv", "leaky", (28, 28, 1), 10, 32, "mnist")
+    post = init_meanfield(jax.random.key(0), arch.init(jax.random.key(1)))
+    with pytest.raises(NotImplementedError, match="fc/fc2"):
+        svi_predict_fused(arch, post, jnp.zeros((2, 28, 28, 1)), 2)
+
+
+def test_fused_predictive_fn_in_attack():
+    """The fused closure drives FGSM end-to-end (traced per-iteration seeds)."""
+    from robustbnns_tpu.attacks import fgsm_attack
+    from robustbnns_tpu.inference.svi import init_meanfield
+    from robustbnns_tpu.models import build_architecture
+    from robustbnns_tpu.ops import fused_predictive_fn
+
+    arch = build_architecture("fc", "leaky", (1, 2, 1), 2, 16)
+    post = init_meanfield(jax.random.key(0), arch.init(jax.random.key(1)))
+    # widen I=2 is below tile alignment; fused kernel still runs in interpret
+    # mode (hardware alignment is a TPU-perf concern, not correctness here).
+    fn = fused_predictive_fn(arch, post, n_samples=3)
+    x = jax.random.uniform(jax.random.key(2), (8, 1, 2, 1))
+    y = jnp.zeros((8,), jnp.int32)
+    x_adv = fgsm_attack(fn, x, y, epsilon=0.2, key=jax.random.key(3))
+    assert x_adv.shape == x.shape
+    assert float(jnp.max(jnp.abs(x_adv - x))) <= 0.2 + 1e-6
