@@ -1,30 +1,45 @@
-"""Benchmark: SVI ELBO steps/sec on the north-star config (MNIST model_0).
+"""Benchmark: the three BASELINE throughput metrics on the default backend.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+Prints ONE JSON line with the headline metric (SVI ELBO steps/sec on the
+north-star MNIST model_0 config) plus an ``extras`` object carrying the other
+two BASELINE metrics (HMC leapfrog steps/sec, Bayesian PGD images/sec), each
+with its own torch-CPU baseline ratio:
 
-* value — jitted robustbnns_tpu SVI steps/sec on the default JAX backend (the
-  real TPU chip when run by the driver); one step = one reparameterized ELBO
-  gradient + Adam update on the conv-512 MNIST architecture at batch 128
-  (reference hot loop ``model_bnn.py:316-325``).
-* vs_baseline — ratio against a behaviourally-equivalent mean-field ELBO step
-  implemented in torch on CPU, standing in for the Pyro-CPU reference (Pyro is
-  not installed here; its SVI step is the same math — guide sample + ELBO
-  backward + Adam — with effect-handler overhead on top, so this baseline is,
-  if anything, generous to the reference).
+    {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N,
+     "extras": {...}}
 
-Synthetic MNIST-shaped data is used (no network access for the real download);
-shapes, dtypes and compute are identical to the real pipeline.
+Baselines are behaviourally-equivalent torch-CPU implementations of the same
+math (Pyro is not installed; its SVI/HMC/PGD do the same tensor work plus
+effect-handler overhead, so these baselines are generous to the reference).
+Synthetic MNIST-shaped data (no network access); shapes match the real
+pipeline. See BASELINE.md.
 """
 import json
 import os
+
+os.environ.setdefault("ROBUSTBNNS_FAST_PRNG", "1")  # rbg PRNG: measured 1.3-1.5x on the noise-bound paths
 import sys
 import time
 
 import numpy as np
 
 
-def bench_jax(n_steps_timed: int = 300, batch_size: int = 128) -> float:
+def _sync(x):
+    """Force completion via a host transfer — block_until_ready does not
+    reliably block on the remote (axon) TPU backend."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+# --------------------------------------------------------------------------- #
+# JAX measurements (run on the default backend — real TPU under the driver)
+# --------------------------------------------------------------------------- #
+
+
+def bench_jax_svi(n_steps_timed: int = 300, batch_size: int = 128) -> float:
+    """Jitted SVI ELBO steps/sec, conv-512 MNIST at batch 128
+    (reference hot loop ``model_bnn.py:316-325``)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -40,64 +55,135 @@ def bench_jax(n_steps_timed: int = 300, batch_size: int = 128) -> float:
     rng = np.random.default_rng(0)
     n = n_steps_timed * batch_size
     x = jnp.asarray(rng.random((n, 28, 28, 1), dtype=np.float32))
-    y = jnp.asarray(
-        np.eye(10, dtype=np.float32)[rng.integers(0, 10, size=n)]
-    )
+    y = jnp.asarray(np.eye(10, dtype=np.float32)[rng.integers(0, 10, size=n)])
 
     def run(epoch):
         return _svi_epoch(
-            arch.apply,
-            optimizer,
-            batch_size,
-            0,  # pure ELBO step timing (no train-accuracy forwards)
-            posterior,
-            opt_state,
-            x,
-            y,
+            arch.apply, optimizer, batch_size, 0, posterior, opt_state, x, y,
             jax.random.key(epoch),
         )
 
-    # Warmup/compile. NOTE: block_until_ready does not reliably block on the
-    # remote (axon) backend — force a device→host scalar transfer instead.
-    out = run(0)
-    float(out[2])
-
+    _sync(run(0)[2])  # compile
     t0 = time.perf_counter()
-    out = run(1)
-    float(out[2])
+    _sync(run(1)[2])
+    return n_steps_timed / (time.perf_counter() - t0)
+
+
+def bench_jax_hmc(batch: int = 5000, n_samples: int = 30, num_steps: int = 10) -> float:
+    """HMC leapfrog steps/sec: fc2-512 MNIST model_1 shape, full 5000-image
+    batch (reference ``model_bnn.py:269-277`` — each leapfrog step is a
+    full-batch forward+backward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robustbnns_tpu.inference.hmc import HMCConfig, hmc_sample
+    from robustbnns_tpu.models.architectures import build_architecture
+    from robustbnns_tpu.utils.pytree import flatten_tree_to_vector
+
+    arch = build_architecture("fc2", "leaky", (28, 28, 1), 10, 512)
+    flat0, unravel = flatten_tree_to_vector(arch.init(jax.random.key(0)))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, 28, 28, 1), dtype=np.float32))
+    labels = jnp.asarray(rng.integers(0, 10, size=batch), jnp.int32)
+
+    def potential(q):
+        logits = arch.apply(unravel(q), x)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.sum(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+        return 0.5 * jnp.sum(q * q) - ll
+
+    warmup = 5
+    cfg = HMCConfig(
+        num_samples=n_samples, warmup=warmup, step_size=1e-4,
+        num_steps=num_steps, adapt_step_size=False, adapt_mass_matrix=False,
+    )
+    samples, info = hmc_sample(potential, flat0, jax.random.key(1), cfg)
+    _sync(samples)  # compile + run once
+    t0 = time.perf_counter()
+    samples, info = hmc_sample(potential, flat0, jax.random.key(2), cfg)
+    _sync(samples)
     dt = time.perf_counter() - t0
-    return n_steps_timed / dt
+    total_leapfrog = (n_samples + warmup) * num_steps
+    return total_leapfrog / dt
 
 
-def bench_torch_cpu(n_steps_timed: int = 4, batch_size: int = 128) -> float:
-    """Mean-field ELBO step in torch on CPU — the Pyro-reference proxy."""
+def bench_jax_pgd(
+    n_images: int = 1024, batch_size: int = 128, n_attack_samples: int = 10
+) -> float:
+    """Bayesian PGD test images/sec: 40 iterations × 10 fresh posterior draws
+    per iteration, fc2-512 (reference ``adversarialAttacks.py:86-108``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robustbnns_tpu.attacks.gradient_attacks import pgd_attack
+    from robustbnns_tpu.inference.svi import init_meanfield
+    from robustbnns_tpu.models.architectures import build_architecture
+    from robustbnns_tpu.predict import svi_predict
+
+    arch = build_architecture("fc2", "leaky", (28, 28, 1), 10, 512)
+    posterior = init_meanfield(jax.random.key(0), arch.init(jax.random.key(1)))
+
+    def forward(xb, key):
+        return svi_predict(
+            arch, posterior, xb, jax.random.split(key, n_attack_samples)
+        )
+
+    forward._rbnn_takes_key = True
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((n_images, 28, 28, 1), dtype=np.float32))
+    y = jnp.asarray(rng.integers(0, 10, size=n_images), jnp.int32)
+
+    def run(key):
+        outs = []
+        for i in range(0, n_images, batch_size):
+            outs.append(
+                pgd_attack(
+                    forward, x[i : i + batch_size], y[i : i + batch_size],
+                    epsilon=0.3, key=jax.random.fold_in(key, i),
+                )
+            )
+        return jnp.concatenate(outs)
+
+    _sync(run(jax.random.key(3)))  # compile
+    t0 = time.perf_counter()
+    _sync(run(jax.random.key(4)))
+    return n_images / (time.perf_counter() - t0)
+
+
+# --------------------------------------------------------------------------- #
+# torch-CPU baselines (the Pyro-reference proxies)
+# --------------------------------------------------------------------------- #
+
+
+def _torch_fc2(ws, x, act):
+    import torch.nn.functional as F
+
+    h = act(F.linear(x, ws[0], ws[1]))
+    h = act(F.linear(h, ws[2], ws[3]))
+    return F.linear(h, ws[4], ws[5])
+
+
+def bench_torch_svi(n_steps: int = 4, batch_size: int = 128) -> float:
+    """Mean-field ELBO step on conv-512 (same math as ``model_bnn.py:303-325``)."""
     import torch
     import torch.nn.functional as F
 
     torch.manual_seed(0)
-    torch.set_num_threads(os.cpu_count() or 1)
-
     shapes = [
-        (32, 1, 5, 5),
-        (32,),
-        (512, 32, 5, 5),
-        (512,),
-        (10, 7 * 7 * 512),
-        (10,),
+        (32, 1, 5, 5), (32,), (512, 32, 5, 5), (512,),
+        (10, 7 * 7 * 512), (10,),
     ]
     locs = [torch.randn(s, requires_grad=True) for s in shapes]
     rhos = [torch.randn(s, requires_grad=True) for s in shapes]
     opt = torch.optim.Adam(locs + rhos, lr=0.01)
-
     x = torch.rand(batch_size, 1, 28, 28)
     yl = torch.randint(0, 10, (batch_size,))
 
     def step():
         opt.zero_grad()
-        ws = [
-            loc + F.softplus(rho) * torch.randn_like(loc)
-            for loc, rho in zip(locs, rhos)
-        ]
+        ws = [l + F.softplus(r) * torch.randn_like(l) for l, r in zip(locs, rhos)]
         h = F.leaky_relu(F.conv2d(x, ws[0], ws[1]))
         h = F.max_pool2d(h, 2)
         h = F.leaky_relu(F.conv2d(h, ws[2], ws[3]))
@@ -108,36 +194,123 @@ def bench_torch_cpu(n_steps_timed: int = 4, batch_size: int = 128) -> float:
             (0.5 * (F.softplus(r) ** 2 + l**2 - 1.0) - torch.log(F.softplus(r))).sum()
             for l, r in zip(locs, rhos)
         )
-        loss = kl - ll
-        loss.backward()
+        (kl - ll).backward()
         opt.step()
 
-    step()  # warmup
+    step()
     t0 = time.perf_counter()
-    for _ in range(n_steps_timed):
+    for _ in range(n_steps):
         step()
-    dt = time.perf_counter() - t0
-    return n_steps_timed / dt
+    return n_steps / (time.perf_counter() - t0)
+
+
+def bench_torch_hmc(batch: int = 5000, n_leapfrog: int = 8) -> float:
+    """Leapfrog steps/sec on fc2-512 with a full 5000-image batch."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    shapes = [(512, 784), (512,), (512, 512), (512,), (10, 512), (10,)]
+    q = [torch.randn(s) * 0.05 for s in shapes]
+    x = torch.rand(batch, 784)
+    yl = torch.randint(0, 10, (batch,))
+    act = lambda v: F.leaky_relu(v)
+
+    def grad_u(q):
+        qs = [t.detach().requires_grad_(True) for t in q]
+        logits = _torch_fc2(qs, x, act)
+        ll = -F.cross_entropy(logits, yl, reduction="sum")
+        u = -(ll - 0.5 * sum((t**2).sum() for t in qs))
+        u.backward()
+        return [t.grad for t in qs]
+
+    p = [torch.randn_like(t) for t in q]
+    eps = 1e-4
+    grad_u(q)  # warm
+    t0 = time.perf_counter()
+    for _ in range(n_leapfrog):
+        g = grad_u(q)
+        p = [pi - eps * gi for pi, gi in zip(p, g)]
+        q = [qi + eps * pi for qi, pi in zip(q, p)]
+    return n_leapfrog / (time.perf_counter() - t0)
+
+
+def bench_torch_pgd(n_images: int = 2, n_samples: int = 10, iters: int = 40) -> float:
+    """Reference-style one-image-at-a-time Bayesian PGD
+    (``adversarialAttacks.py:118`` loop) on fc2-512."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    shapes = [(512, 784), (512,), (512, 512), (512,), (10, 512), (10,)]
+    locs = [torch.randn(s) for s in shapes]
+    rhos = [torch.randn(s) for s in shapes]
+    act = lambda v: F.leaky_relu(v)
+
+    def forward(x):
+        preds = []
+        for _ in range(n_samples):
+            ws = [l + F.softplus(r) * torch.randn_like(l) for l, r in zip(locs, rhos)]
+            preds.append(F.softmax(_torch_fc2(ws, x, act), dim=-1))
+        return torch.stack(preds).mean(0)
+
+    imgs = torch.rand(n_images, 784)
+    labels = torch.zeros(n_images, dtype=torch.long)
+
+    t0 = time.perf_counter()
+    for idx in range(n_images):
+        image = imgs[idx : idx + 1].clone()
+        original = image.clone()
+        for _ in range(iters):
+            image.requires_grad_(True)
+            out = forward(image)
+            loss = F.cross_entropy(out, labels[idx : idx + 1])
+            loss.backward()
+            with torch.no_grad():
+                adv = image + 2.0 * image.grad.sign()
+                eta = torch.clamp(adv - original, -0.3, 0.3)
+                image = torch.clamp(original + eta, 0, 1)
+    return n_images / (time.perf_counter() - t0)
 
 
 def main():
-    # All human-readable output to stderr; the JSON line is the only stdout.
-    jax_sps = bench_jax()
-    print(f"jax: {jax_sps:.2f} steps/sec", file=sys.stderr)
-    try:
-        torch_sps = bench_torch_cpu()
-        print(f"torch-cpu baseline: {torch_sps:.3f} steps/sec", file=sys.stderr)
-        vs = jax_sps / torch_sps
-    except Exception as e:  # torch missing/broken: report absolute only
-        print(f"torch baseline failed: {e}", file=sys.stderr)
-        vs = float("nan")
+    results = {}
+    jax_svi = bench_jax_svi()
+    print(f"jax svi: {jax_svi:.1f} steps/s", file=sys.stderr)
+    jax_hmc = bench_jax_hmc()
+    print(f"jax hmc leapfrog: {jax_hmc:.1f} steps/s", file=sys.stderr)
+    jax_pgd = bench_jax_pgd()
+    print(f"jax bayesian pgd: {jax_pgd:.1f} imgs/s", file=sys.stderr)
+
+    def safe(fn, *a):
+        try:
+            return fn(*a)
+        except Exception as e:
+            print(f"baseline {fn.__name__} failed: {e}", file=sys.stderr)
+            return float("nan")
+
+    t_svi = safe(bench_torch_svi)
+    t_hmc = safe(bench_torch_hmc)
+    t_pgd = safe(bench_torch_pgd)
+    print(
+        f"torch-cpu: svi {t_svi:.3f} steps/s, hmc {t_hmc:.2f} steps/s, "
+        f"pgd {t_pgd:.4f} imgs/s",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
                 "metric": "SVI ELBO steps/sec (MNIST model_0 conv-512, batch 128)",
-                "value": round(jax_sps, 2),
+                "value": round(jax_svi, 2),
                 "unit": "steps/sec",
-                "vs_baseline": round(vs, 2),
+                "vs_baseline": round(jax_svi / t_svi, 2),
+                "extras": {
+                    "hmc_leapfrog_steps_per_sec": round(jax_hmc, 2),
+                    "hmc_vs_torch_cpu": round(jax_hmc / t_hmc, 2),
+                    "bayesian_pgd_images_per_sec": round(jax_pgd, 2),
+                    "pgd_vs_torch_cpu": round(jax_pgd / t_pgd, 2),
+                },
             }
         )
     )

@@ -67,9 +67,18 @@ def grid_train(
     *,
     num_chains: int = 1,
     hmc_mode: str = "faithful",
+    resume: bool = True,
     verbose: bool = True,
 ):
-    """Train + save every grid cell (reference ``_train``/``serial_train``, ``:30-50``)."""
+    """Train + save every grid cell (reference ``_train``/``serial_train``, ``:30-50``).
+
+    ``resume=True`` (the failure-recovery model: checkpoints-on-disk keyed by
+    the config name, like the reference's joblib workers — SURVEY §5.3) skips
+    cells whose checkpoint already exists, so a crashed/preempted sweep
+    restarts where it stopped.
+    """
+    import os
+
     from robustbnns_tpu.data import load_dataset
     from robustbnns_tpu.models import BNN
 
@@ -81,6 +90,12 @@ def grid_train(
             "half_moons", n_inputs=n_inputs, shuffle=False
         )
         bnn = BNN.from_config(cfg, inp_shape, out_size, n_inputs=n_inputs)
+        ckpt = os.path.join(rel_path, bnn.name, bnn.name + "_weights.npz")
+        if resume and os.path.exists(ckpt):
+            if verbose:
+                print(f"\n=== grid cell (resumed from checkpoint): {bnn.name}")
+            trained.append(bnn.load(rel_path=rel_path))
+            continue
         if verbose:
             print(f"\n=== grid cell: {bnn.name}")
         bnn.train(

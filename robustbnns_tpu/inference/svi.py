@@ -188,7 +188,9 @@ def svi_train(
     and train accuracy (reference logs ``loss/N`` and accuracy,
     ``model_bnn.py:335-339``).
     """
-    key = jax.random.key(seed)
+    from robustbnns_tpu.utils.prng import make_key
+
+    key = make_key(seed)
     init_key, train_key = jax.random.split(key)
     posterior = init_meanfield(init_key, arch.init(jax.random.key(0)))
 

@@ -5,6 +5,7 @@ from robustbnns_tpu.parallel.mesh import (
     sharded_svi_step,
     sharded_predict,
     sharded_attack_grads,
+    sharded_hmc_chains,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "sharded_svi_step",
     "sharded_predict",
     "sharded_attack_grads",
+    "sharded_hmc_chains",
 ]

@@ -125,6 +125,38 @@ def sharded_predict(arch, mesh: Mesh, n_samples: int):
     return predict
 
 
+def sharded_hmc_chains(potential_fn, mesh: Mesh, config):
+    """Chain-parallel HMC: C chains shard over the ``sample`` axis.
+
+    Chains are embarrassingly parallel (no cross-chain communication), so the
+    vmapped chain axis shards with zero collectives — the TPU-native
+    replacement for running Pyro chains in separate processes. Initial
+    positions ``(C, D)`` and keys ``(C,)`` must be sharded over ``sample``.
+    """
+    from robustbnns_tpu.inference.hmc import _hmc_single_chain
+
+    chain_sharding = NamedSharding(mesh, P("sample"))
+
+    @partial(
+        jax.jit,
+        in_shardings=(chain_sharding, chain_sharding),
+        out_shardings=(chain_sharding, None),
+    )
+    def run(init_positions, keys):
+        def one(q0, k):
+            return _hmc_single_chain(
+                potential_fn, q0, k,
+                config.num_samples, config.warmup, config.step_size,
+                config.num_steps, config.adapt_step_size,
+                config.adapt_mass_matrix, config.target_accept,
+            )
+
+        samples, infos = jax.vmap(one)(init_positions, keys)
+        return samples, infos
+
+    return run
+
+
 def sharded_attack_grads(forward_fn, mesh: Mesh):
     """Input-gradient computation with the attack set sharded over ``data``.
 

@@ -1,4 +1,10 @@
-from robustbnns_tpu.utils.prng import key_from_seed, keys_from_seeds, split_like
+from robustbnns_tpu.utils.prng import (
+    key_from_seed,
+    keys_from_seeds,
+    make_key,
+    split_like,
+    use_fast_prng,
+)
 from robustbnns_tpu.utils.pytree import (
     normal_like_tree,
     tree_size,

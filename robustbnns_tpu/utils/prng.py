@@ -37,3 +37,23 @@ def keys_from_seeds(seeds: Sequence[int] | jax.Array) -> jax.Array:
 def split_like(key: jax.Array, n: int) -> jax.Array:
     """``jax.random.split`` with a clearer name for fan-out over samples."""
     return jax.random.split(key, n)
+
+
+def use_fast_prng() -> bool:
+    """Opt-in hardware-accelerated PRNG (``ROBUSTBNNS_FAST_PRNG=1``).
+
+    The ``rbg`` generator is ~1.3-1.5× faster than threefry for the
+    noise-dominated SVI predictive on TPU (measured: fwd 3.62→2.52 ms at
+    S=100 fc2-512). Streams differ from the default impl — self-consistent,
+    but not bit-comparable with threefry-keyed runs, hence opt-in.
+    """
+    import os
+
+    return os.environ.get("ROBUSTBNNS_FAST_PRNG") == "1"
+
+
+def make_key(seed: int) -> jax.Array:
+    """Seed → key honoring the fast-PRNG opt-in (TPU only)."""
+    if use_fast_prng() and jax.default_backend() == "tpu":
+        return jax.random.key(seed, impl="rbg")
+    return jax.random.key(seed)

@@ -129,3 +129,23 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert out.shape == (128, 10)
     graft.dryrun_multichip(8)
+
+
+def test_sharded_hmc_chains(mesh8):
+    """Chain-parallel HMC over the sample axis matches statistics + shapes."""
+    from robustbnns_tpu.inference.hmc import HMCConfig
+    from robustbnns_tpu.parallel import sharded_hmc_chains
+
+    def potential(q):
+        return 0.5 * jnp.sum(q * q)
+
+    cfg = HMCConfig(num_samples=200, warmup=50, step_size=0.3, num_steps=5)
+    run = sharded_hmc_chains(potential, mesh8, cfg)
+    n_chains = 2  # the mesh's sample axis
+    q0 = jnp.zeros((n_chains, 4))
+    keys = jax.random.split(jax.random.key(0), n_chains)
+    sharding = jax.sharding.NamedSharding(mesh8, jax.sharding.PartitionSpec("sample"))
+    samples, infos = run(jax.device_put(q0, sharding), jax.device_put(keys, sharding))
+    assert samples.shape == (n_chains, 200, 4)
+    flat = np.asarray(samples).reshape(-1)
+    assert abs(flat.mean()) < 0.15 and abs(flat.std() - 1.0) < 0.15
