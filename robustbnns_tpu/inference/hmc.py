@@ -112,7 +112,7 @@ def _dual_averaging_update(state, accept_prob, target, t):
 @partial(
     jax.jit,
     static_argnames=(
-        "potential_fn",
+        "raw_potential_fn",
         "num_samples",
         "warmup",
         "num_steps",
@@ -121,7 +121,8 @@ def _dual_averaging_update(state, accept_prob, target, t):
     ),
 )
 def _hmc_single_chain(
-    potential_fn,
+    raw_potential_fn,
+    data,
     init_q,
     key,
     num_samples,
@@ -132,6 +133,10 @@ def _hmc_single_chain(
     adapt_mass_matrix,
     target_accept,
 ):
+    # ``data`` is a traced pytree fed to ``raw_potential_fn(q, *data)`` — so a
+    # sweep over many batches of the SAME shape reuses one compiled chain
+    # (closing the data into the potential would force a recompile per batch).
+    potential_fn = lambda q: raw_potential_fn(q, *data)
     d = init_q.shape[0]
     transition = _hmc_transition(potential_fn, num_steps)
     inv_mass0 = jnp.ones((d,), init_q.dtype)
@@ -199,19 +204,34 @@ def _hmc_single_chain(
 
 
 def hmc_sample(
-    potential_fn: Callable[[jax.Array], jax.Array],
+    potential_fn: Callable,
     init_position: jax.Array,
     key: jax.Array,
     config: HMCConfig,
+    data: tuple = None,
 ):
     """Run HMC on a flat position vector.
+
+    ``potential_fn`` is either ``U(q)`` (pass ``data=None``) or
+    ``U(q, *data)`` with ``data`` a tuple of traced arrays — the latter lets
+    repeated calls over same-shaped data reuse one compiled chain.
 
     Returns ``(samples, info)`` — ``samples`` has shape ``(num_samples, D)``
     for one chain or ``(num_chains, num_samples, D)`` for several; chains run
     as a single vmapped (batched) program.
     """
+    if data is None:
+        # Cache the nullary shim ON the function so the jit cache still hits
+        # across calls with the same potential.
+        if not hasattr(potential_fn, "_rbnn_nullary"):
+            fn = potential_fn
+            shim = lambda q, *unused: fn(q)
+            fn._rbnn_nullary = shim
+        potential_fn = potential_fn._rbnn_nullary
+        data = ()
     run = lambda q0, k: _hmc_single_chain(
         potential_fn,
+        tuple(data),
         q0,
         k,
         config.num_samples,
@@ -233,7 +253,7 @@ def hmc_sample(
 
 
 def hmc_train_batched(
-    potential_builder: Callable[[jax.Array, jax.Array], Callable],
+    potential_fn: Callable,  # U(q, x, labels)
     batches,  # iterable of (x, labels)
     init_position: jax.Array,
     key: jax.Array,
@@ -271,7 +291,7 @@ def hmc_train_batched(
             num_steps=num_steps,
             num_chains=num_chains,
         )
-        return hmc_sample(potential_builder(xs, ys), init_position, key, cfg)
+        return hmc_sample(potential_fn, init_position, key, cfg, data=(xs, ys))
 
     if mode != "faithful":
         raise ValueError(f"unknown HMC training mode {mode!r}")
@@ -288,7 +308,7 @@ def hmc_train_batched(
     samples, info = None, None
     for i, (x, labels) in enumerate(batches):
         key, k_run = jax.random.split(key)
-        samples, info = hmc_sample(potential_builder(x, labels), q, k_run, cfg)
+        samples, info = hmc_sample(potential_fn, q, k_run, cfg, data=(x, labels))
         q = samples[-1] if cfg.num_chains == 1 else samples[:, -1]
         if verbose:
             acc = float(jnp.mean(info.accept_prob))

@@ -118,18 +118,15 @@ class BNN:
             x = jnp.asarray(x_train)
             labels = jnp.argmax(jnp.asarray(y_train), axis=-1)
 
-            def potential_builder(bx, blabels):
-                def potential(q):
-                    params = unravel(q)
-                    logits = self.arch.apply(params, bx)
-                    logp = jax.nn.log_softmax(logits, axis=-1)
-                    loglik = jnp.sum(
-                        jnp.take_along_axis(logp, blabels[:, None], axis=-1)
-                    )
-                    log_prior = -0.5 * jnp.sum(q * q)
-                    return -(log_prior + loglik)
-
-                return potential
+            def potential_fn(q, bx, blabels):
+                params = unravel(q)
+                logits = self.arch.apply(params, bx)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                loglik = jnp.sum(
+                    jnp.take_along_axis(logp, blabels[:, None], axis=-1)
+                )
+                log_prior = -0.5 * jnp.sum(q * q)
+                return -(log_prior + loglik)
 
             # Reference batching: sequential full batches of `batch_size`
             # (model_bnn.py:274-277); the ragged tail batch is included.
@@ -143,7 +140,7 @@ class BNN:
             ]
 
             flat_samples, self.hmc_info = hmc_train_batched(
-                potential_builder,
+                potential_fn,
                 batches,
                 flat0,
                 jax.random.key(seed),

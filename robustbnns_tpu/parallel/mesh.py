@@ -145,7 +145,7 @@ def sharded_hmc_chains(potential_fn, mesh: Mesh, config):
     def run(init_positions, keys):
         def one(q0, k):
             return _hmc_single_chain(
-                potential_fn, q0, k,
+                potential_fn, (), q0, k,
                 config.num_samples, config.warmup, config.step_size,
                 config.num_steps, config.adapt_step_size,
                 config.adapt_mass_matrix, config.target_accept,

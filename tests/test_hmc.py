@@ -98,20 +98,16 @@ def test_hmc_fixed_step_mode():
 def test_hmc_train_batched_faithful_resamples_last_batch():
     """Faithful mode: n_samples draws resampled from the last batch's chain."""
 
-    def potential_builder(x, labels):
+    def potential_fn(q, x, labels):
         center = jnp.mean(x)
-
-        def potential(q):
-            return 0.5 * jnp.sum((q - center) ** 2)
-
-        return potential
+        return 0.5 * jnp.sum((q - center) ** 2)
 
     batches = [
         (jnp.full((4,), 0.0), jnp.zeros((4,), jnp.int32)),
         (jnp.full((4,), 5.0), jnp.zeros((4,), jnp.int32)),
     ]
     samples, _ = hmc_train_batched(
-        potential_builder,
+        potential_fn,
         batches,
         jnp.zeros((3,)),
         jax.random.key(0),
@@ -130,20 +126,16 @@ def test_hmc_train_batched_faithful_resamples_last_batch():
 
 
 def test_hmc_train_batched_full_mode_uses_all_data():
-    def potential_builder(x, labels):
+    def potential_fn(q, x, labels):
         center = jnp.mean(x)
-
-        def potential(q):
-            return 0.5 * jnp.sum((q - center) ** 2)
-
-        return potential
+        return 0.5 * jnp.sum((q - center) ** 2)
 
     batches = [
         (jnp.full((4,), 0.0), jnp.zeros((4,), jnp.int32)),
         (jnp.full((4,), 5.0), jnp.zeros((4,), jnp.int32)),
     ]
     samples, _ = hmc_train_batched(
-        potential_builder,
+        potential_fn,
         batches,
         jnp.zeros((3,)),
         jax.random.key(0),
