@@ -27,7 +27,8 @@ from robustbnns_tpu.config import (
 EPSILON = 0.3  # reference adversarialAttacks.py:207
 
 
-def _build_nn(cfg, inp_shape, out_size, rel_path, args, x_train, y_train):
+def _build_nn(cfg, inp_shape, out_size, rel_path, args, x_train, y_train,
+              x_test=None, y_test=None):
     import jax
 
     from robustbnns_tpu.models import build_architecture, evaluate_nn, train_nn
@@ -48,7 +49,11 @@ def _build_nn(cfg, inp_shape, out_size, rel_path, args, x_train, y_train):
         )
         model.load(rel_path)
     if args.test:
-        evaluate_nn(model, x_train, y_train)
+        evaluate_nn(
+            model,
+            x_test if x_test is not None else x_train,
+            y_test if y_test is not None else y_train,
+        )
     return model
 
 
@@ -65,7 +70,10 @@ def main(args):
         x_train, y_train, x_test, y_test, inp_shape, out_size = load_data(
             cfg.dataset, None, shuffle=False
         )
-        nn = _build_nn(cfg, inp_shape, out_size, rel_path, args, x_train, y_train)
+        nn = _build_nn(
+            cfg, inp_shape, out_size, rel_path, args, x_train, y_train,
+            x_test, y_test,
+        )
         x_test, y_test = x_test[: args.n_inputs], y_test[: args.n_inputs]
         if args.attack:
             x_attack = attack(
