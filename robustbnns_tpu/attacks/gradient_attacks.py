@@ -88,12 +88,37 @@ def _fgsm_batch(forward_fn, x, labels, epsilon, key):
     return jnp.clip(x_adv, 0.0, 1.0)
 
 
+@partial(jax.jit, static_argnames=("pure_fn",))
+def _fgsm_batch_pure(pure_fn, state, x, labels, epsilon, key):
+    """FGSM with model state as a traced argument (see predict.attach_pure)."""
+    grads = _input_gradients(lambda xx, k: pure_fn(state, xx, k), x, labels, key)
+    return jnp.clip(x + epsilon * jnp.sign(grads), 0.0, 1.0)
+
+
 @partial(jax.jit, static_argnames=("forward_fn", "iters"))
 def _pgd_batch(forward_fn, iters, x, labels, epsilon, alpha, key):
     x0 = x
 
     def body(x, it_key):
         grads = _input_gradients(forward_fn, x, labels, it_key)
+        x_adv = x + alpha * jnp.sign(grads)
+        eta = jnp.clip(x_adv - x0, -epsilon, epsilon)
+        return jnp.clip(x0 + eta, 0.0, 1.0), None
+
+    keys = jax.random.split(key, iters)
+    x, _ = jax.lax.scan(body, x, keys)
+    return x
+
+
+@partial(jax.jit, static_argnames=("pure_fn", "iters"))
+def _pgd_batch_pure(pure_fn, iters, state, x, labels, epsilon, alpha, key):
+    """PGD with model state as a traced argument (see predict.attach_pure)."""
+    x0 = x
+
+    def body(x, it_key):
+        grads = _input_gradients(
+            lambda xx, k: pure_fn(state, xx, k), x, labels, it_key
+        )
         x_adv = x + alpha * jnp.sign(grads)
         eta = jnp.clip(x_adv - x0, -epsilon, epsilon)
         return jnp.clip(x0 + eta, 0.0, 1.0), None
@@ -118,6 +143,11 @@ def fgsm_attack(
     """
     labels = y if y.ndim == 1 else jnp.argmax(y, axis=-1)
     key = key if key is not None else jax.random.key(0)
+    from robustbnns_tpu.predict import split_pure
+
+    pure_fn, state = split_pure(forward_fn)
+    if pure_fn is not None:
+        return _fgsm_batch_pure(pure_fn, state, x, labels, epsilon, key)
     return _fgsm_batch(_normalize_forward(forward_fn), x, labels, epsilon, key)
 
 
@@ -147,6 +177,13 @@ def pgd_attack(
             jnp.reshape(x, (x.shape[0], -1)), axis=-1
         ).reshape((x.shape[0],) + (1,) * (x.ndim - 1))
         alpha = 2.0 / per_image_max
+    from robustbnns_tpu.predict import split_pure
+
+    pure_fn, state = split_pure(forward_fn)
+    if pure_fn is not None:
+        return _pgd_batch_pure(
+            pure_fn, iters, state, x, labels, epsilon, alpha, key
+        )
     return _pgd_batch(
         _normalize_forward(forward_fn), iters, x, labels, epsilon, alpha, key
     )

@@ -95,6 +95,7 @@ class BNN:
         verbose: bool = True,
     ) -> "BNN":
         """Dispatch to the SVI or HMC engine (reference ``model_bnn.py:350-365``)."""
+        self._fn_cache.clear()  # cached closures hold the previous state
         batch_size = batch_size or bnn_batch_size(self.config)
 
         if self.config.inference == "svi":
@@ -271,13 +272,52 @@ class BNN:
         )
         if cache_key in self._fn_cache:
             return self._fn_cache[cache_key]
+
+        # Every closure also carries a (pure_fn, state) split so jitted
+        # consumers can route the (possibly huge) posterior as a TRACED
+        # argument instead of a baked-in constant — a 100-sample HMC posterior
+        # as constants is ~100× the parameter count in the compile payload.
+        from robustbnns_tpu.predict import attach_pure
+        from robustbnns_tpu.utils.prng import keys_from_seeds
+
+        apply = self.arch.apply
         if avg_posterior:
             fn = lambda x: self.forward(x, n_samples, avg_posterior=True)
+            attach_pure(
+                fn,
+                lambda state, x, key: apply(state[0], x),
+                (self.posterior.loc,),
+            )
+        elif self.config.inference == "hmc":
+            seeds_list = list(seeds)
+            fn = lambda x: self.forward(x, n_samples, seeds=seeds_list)
+            idx = jnp.asarray(seeds_list, dtype=jnp.int32)
+
+            def hmc_pure(state, x, key):
+                samples, idx = state
+                return hmc_predict(self.arch, samples, x, idx)
+
+            attach_pure(fn, hmc_pure, (self.samples, idx))
         elif seeds is not None:
             seeds_list = list(seeds)
             fn = lambda x: self.forward(x, n_samples, seeds=seeds_list)
+            sample_keys = keys_from_seeds(seeds_list)
+
+            def svi_seeded_pure(state, x, key):
+                posterior, sample_keys = state
+                return svi_predict(self.arch, posterior, x, sample_keys)
+
+            attach_pure(fn, svi_seeded_pure, (self.posterior, sample_keys))
         else:
             fn = lambda x, key: self.forward(x, n_samples, key=key)
+
+            def svi_fresh_pure(state, x, key):
+                (posterior,) = state
+                return svi_predict(
+                    self.arch, posterior, x, jax.random.split(key, n_samples)
+                )
+
+            attach_pure(fn, svi_fresh_pure, (self.posterior,))
         self._fn_cache[cache_key] = fn
         return fn
 
@@ -302,6 +342,7 @@ class BNN:
         return path
 
     def load(self, rel_path: str = TESTS, filename: Optional[str] = None) -> "BNN":
+        self._fn_cache.clear()  # cached closures hold the previous state
         path = self._ckpt_path(rel_path, filename)
         template_params = self.arch.init(jax.random.key(0))
         if self.config.inference == "svi":

@@ -72,6 +72,7 @@ class EnsembleNN:
         )
         path = os.path.join(rel_path, self.name, "weights", f"{self.name}_stacked")
         self.stacked_params = load_pytree(template, path)
+        self._fn_cache.clear()  # cached closures hold the previous params
         print("\nLoading: ", path)
         return self
 
@@ -104,11 +105,21 @@ class EnsembleNN:
                 f"Maximum number of samples allowed is {self.ensemble_size}"
             )
         if n not in self._fn_cache:
+            from robustbnns_tpu.predict import attach_pure
+
             params_n = slice_tree(self.stacked_params, n)
             apply = self.arch.apply
-            self._fn_cache[n] = lambda x: jnp.mean(
+            fn = lambda x: jnp.mean(
                 jax.vmap(apply, in_axes=(0, None))(params_n, x), axis=0
             )
+            attach_pure(
+                fn,
+                lambda state, x, key: jnp.mean(
+                    jax.vmap(apply, in_axes=(0, None))(state[0], x), axis=0
+                ),
+                (params_n,),
+            )
+            self._fn_cache[n] = fn
         return self._fn_cache[n]
 
     def evaluate(

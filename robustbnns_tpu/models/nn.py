@@ -75,6 +75,7 @@ class DeterministicNN:
             jax.random.key(0)
         )
         self.params = load_pytree(template, path)
+        self._fn = None  # drop the closure over the old params
         print("\nLoading: ", path)
         return self
 
@@ -98,7 +99,12 @@ class DeterministicNN:
         consumers compile once.
         """
         if self._fn is None:
-            self._fn = lambda x: self.arch.apply(self.params, x)
+            from robustbnns_tpu.predict import attach_pure
+
+            apply = self.arch.apply
+            fn = lambda x: apply(self.params, x)
+            attach_pure(fn, lambda state, x, key: apply(state[0], x), (self.params,))
+            self._fn = fn
         return self._fn
 
 

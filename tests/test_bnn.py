@@ -129,3 +129,34 @@ def test_bnn_name_matches_reference_scheme(svi_bnn, hmc_bnn):
         == "half_moons_bnn_hmc_hid=16_act=leaky_arch=fc_inp=1000"
         "_samp=30_warm=60_stepsize=0.001_numsteps=10"
     )
+
+
+def test_predictive_closures_carry_pure_split(svi_bnn, hmc_bnn):
+    """Heavy model state must ride jits as traced args, not baked constants.
+
+    Regression guard for the remote-compile blowup: a 100-sample HMC posterior
+    captured as jit constants inflates the compile payload by ~100x the
+    parameter count (observed to take down the remote TPU compiler).
+    """
+    from robustbnns_tpu.predict import split_pure
+
+    for fn in (
+        svi_bnn.predictive_fn(n_samples=3),
+        svi_bnn.predictive_fn(n_samples=3, seeds=[0, 1, 2]),
+        svi_bnn.predictive_fn(n_samples=3, avg_posterior=True),
+        hmc_bnn.predictive_fn(n_samples=3),
+    ):
+        pure_fn, state = split_pure(fn)
+        assert pure_fn is not None and state is not None
+
+
+def test_cache_invalidated_on_load(tmp_path, svi_bnn, moons_data):
+    """predictive_fn closures must not survive a load() that swaps the state."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(moons_data[2][:4])
+    fn_before = svi_bnn.predictive_fn(n_samples=2, seeds=[0, 1])
+    svi_bnn.save(rel_path=str(tmp_path) + "/")
+    svi_bnn.load(rel_path=str(tmp_path) + "/")
+    fn_after = svi_bnn.predictive_fn(n_samples=2, seeds=[0, 1])
+    assert fn_before is not fn_after
