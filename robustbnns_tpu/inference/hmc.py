@@ -96,6 +96,45 @@ def _hmc_transition(potential_fn, num_steps):
     return transition
 
 
+def _find_reasonable_step_size(potential_fn, q, key, eps0, inv_mass):
+    """Stan/Pyro's doubling-halving heuristic: scale ``eps`` by 2 until the
+    one-step leapfrog acceptance crosses 1/2. Run before dual averaging so a
+    wildly mis-scaled initial step (e.g. a 60k-point likelihood making the
+    posterior razor sharp) cannot poison the adaptation — without this the
+    averaged step collapses to ~0 and the chain never moves.
+    """
+    grad_u = jax.grad(potential_fn)
+    p = jax.random.normal(key, q.shape, q.dtype) / jnp.sqrt(inv_mass)
+    h0 = potential_fn(q) + _kinetic(p, inv_mass)
+
+    def log_accept(eps):
+        p1 = p - 0.5 * eps * grad_u(q)
+        q1 = q + eps * inv_mass * p1
+        p1 = p1 - 0.5 * eps * grad_u(q1)
+        h1 = potential_fn(q1) + _kinetic(p1, inv_mass)
+        la = h0 - h1
+        return jnp.where(jnp.isfinite(la), la, -jnp.inf)
+
+    la0 = log_accept(eps0)
+    direction = jnp.where(la0 > jnp.log(0.5), 1.0, -1.0)
+
+    def cond(state):
+        eps, it = state
+        la = log_accept(eps)
+        # direction=+1: keep doubling while acceptance stays above 1/2;
+        # direction=-1: keep halving while acceptance stays below 1/2.
+        keep = direction * la > direction * jnp.log(0.5)
+        return jnp.logical_and(keep, it < 60)
+
+    def body(state):
+        eps, it = state
+        return eps * jnp.exp2(direction), it + 1.0
+
+    eps, _ = jax.lax.while_loop(cond, body, (jnp.asarray(eps0, q.dtype), 0.0))
+    # Clamp away from degenerate extremes.
+    return jnp.clip(eps, 1e-10, 1e3)
+
+
 def _dual_averaging_update(state, accept_prob, target, t):
     """Nesterov dual averaging on log step size (Stan/Pyro scheme)."""
     log_eps, log_eps_bar, h_bar, mu = state
@@ -142,8 +181,17 @@ def _hmc_single_chain(
     inv_mass0 = jnp.ones((d,), init_q.dtype)
 
     # ---- warmup: adapt eps (dual averaging) + diag mass (Welford, 2nd half) --
-    mu = jnp.log(10.0 * step_size)
-    da0 = (jnp.log(step_size), jnp.log(step_size), jnp.zeros(()), mu)
+    key, k_find = jax.random.split(key)
+    if adapt_step_size and warmup > 0:
+        # Pyro/Stan-style initialization: rescale the user's step size until a
+        # single leapfrog step has ~1/2 acceptance, THEN dual-average from it.
+        eps_init = _find_reasonable_step_size(
+            potential_fn, init_q, k_find, step_size, inv_mass0
+        )
+    else:
+        eps_init = jnp.asarray(step_size, init_q.dtype)
+    mu = jnp.log(10.0 * eps_init)
+    da0 = (jnp.log(eps_init), jnp.log(eps_init), jnp.zeros(()), mu)
     welford0 = (jnp.zeros((d,), init_q.dtype), jnp.zeros((d,), init_q.dtype), 0.0)
 
     def warmup_step(carry, it):

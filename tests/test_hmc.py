@@ -148,3 +148,24 @@ def test_hmc_train_batched_full_mode_uses_all_data():
     )
     # Full mode concatenates: center = 2.5.
     assert abs(float(samples.mean()) - 2.5) < 0.5
+
+
+def test_sharp_posterior_survives_bad_initial_step():
+    """A razor-sharp target with a hopeless initial step must still mix.
+
+    Regression for the 60k-point full-batch HMC collapse: without the
+    find-reasonable-step-size initialization, dual averaging from a too-large
+    step drives eps to ~0 within warmup and the chain never leaves its init.
+    """
+    scale = 1e-3  # very sharp
+
+    def potential(q):
+        return 0.5 * jnp.sum((q / scale) ** 2)
+
+    cfg = HMCConfig(num_samples=500, warmup=200, step_size=0.5, num_steps=10)
+    samples, info = hmc_sample(potential, jnp.full((4,), 0.02), jax.random.key(0), cfg)
+    s = np.asarray(samples)
+    # chain moved off its init and matches the target scale within 2x
+    assert float(np.abs(s[-100:]).mean()) < 10 * scale
+    assert float(s[-100:].std()) > 0.3 * scale
+    assert float(jnp.mean(info.accept_prob)) > 0.4
