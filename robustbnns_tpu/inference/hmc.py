@@ -183,11 +183,15 @@ def _hmc_single_chain(
     # ---- warmup: adapt eps (dual averaging) + diag mass (Welford, 2nd half) --
     key, k_find = jax.random.split(key)
     if adapt_step_size and warmup > 0:
-        # Pyro/Stan-style initialization: rescale the user's step size until a
-        # single leapfrog step has ~1/2 acceptance, THEN dual-average from it.
-        eps_init = _find_reasonable_step_size(
+        # Guard against a catastrophically-large initial step: rescale until a
+        # single leapfrog step has ~1/2 acceptance (Stan/Pyro's heuristic), but
+        # never RAISE the user's step — one-step acceptance overestimates what
+        # a full multi-step trajectory tolerates, and dual averaging can grow
+        # the step during warmup anyway.
+        eps_found = _find_reasonable_step_size(
             potential_fn, init_q, k_find, step_size, inv_mass0
         )
+        eps_init = jnp.minimum(eps_found, jnp.asarray(step_size, init_q.dtype))
     else:
         eps_init = jnp.asarray(step_size, init_q.dtype)
     mu = jnp.log(10.0 * eps_init)

@@ -44,11 +44,11 @@ def test_leapfrog_is_reversible():
 
 def test_hmc_recovers_standard_normal():
     """Sampling N(0, I): moments must match."""
-    cfg = HMCConfig(num_samples=1500, warmup=300, step_size=0.2, num_steps=8)
+    cfg = HMCConfig(num_samples=2000, warmup=500, step_size=0.2, num_steps=8)
     samples, info = hmc_sample(
         _std_normal_potential, jnp.zeros((4,)), jax.random.key(0), cfg
     )
-    assert samples.shape == (1500, 4)
+    assert samples.shape == (2000, 4)
     assert float(jnp.mean(info.accept_prob)) > 0.6
     flat = np.asarray(samples).reshape(-1)
     assert abs(flat.mean()) < 0.1
