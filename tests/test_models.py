@@ -99,3 +99,18 @@ def test_train_nn_deterministic():
         jax.tree_util.tree_leaves(m1.params), jax.tree_util.tree_leaves(m2.params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_matmul_optin(monkeypatch):
+    """ROBUSTBNNS_BF16=1 changes only precision, not semantics."""
+    import os
+
+    arch = build_architecture("fc2", "leaky", (1, 2, 1), 2, 16)
+    params = arch.init(jax.random.key(0))
+    x = jax.random.uniform(jax.random.key(1), (8, 1, 2, 1))
+    ref = np.asarray(arch.apply(params, x))
+    monkeypatch.setenv("ROBUSTBNNS_BF16", "1")
+    got = np.asarray(arch.apply(params, x))
+    assert got.dtype == np.float32  # f32 accumulation/output
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    assert not np.array_equal(got, ref)  # precision actually changed
