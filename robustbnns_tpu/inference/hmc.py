@@ -135,6 +135,47 @@ def _find_reasonable_step_size(potential_fn, q, key, eps0, inv_mass):
     return jnp.clip(eps, 1e-10, 1e3)
 
 
+def map_warm_start(
+    potential_fn,
+    init_q,
+    data: tuple = (),
+    *,
+    steps: int = 200,
+    lr: float = 1e-2,
+):
+    """Adam descent on the potential to a high-density start point.
+
+    Plain fixed-trajectory HMC from a random init cannot reach the typical set
+    of a sharp, high-dimensional posterior within a short warmup (observed:
+    full-batch 60k-input chains stuck at their init). A few hundred Adam steps
+    on ``U`` give a MAP-ish start the chain can actually explore from — the
+    practical analogue of Pyro's informed init strategies.
+    """
+    import optax
+
+    optimizer = optax.adam(lr)
+
+    @partial(jax.jit, static_argnames=("raw_potential_fn",))
+    def run(raw_potential_fn, data, q0):
+        opt_state = optimizer.init(q0)
+
+        def step(carry, _):
+            q, opt_state = carry
+            u, g = jax.value_and_grad(lambda q: raw_potential_fn(q, *data))(q)
+            updates, opt_state = optimizer.update(g, opt_state, q)
+            return (optax.apply_updates(q, updates), opt_state), u
+
+        (q, _), us = jax.lax.scan(step, (q0, opt_state), None, length=steps)
+        return q, us
+
+    if data == () and not hasattr(potential_fn, "_rbnn_nullary"):
+        fn = potential_fn
+        shim = lambda q, *unused: fn(q)
+        fn._rbnn_nullary = shim
+    raw = potential_fn._rbnn_nullary if data == () and hasattr(potential_fn, "_rbnn_nullary") else potential_fn
+    return run(raw, tuple(data), init_q)
+
+
 def _dual_averaging_update(state, accept_prob, target, t):
     """Nesterov dual averaging on log step size (Stan/Pyro scheme)."""
     log_eps, log_eps_bar, h_bar, mu = state

@@ -90,6 +90,7 @@ class BNN:
         batch_size: Optional[int] = None,
         seed: int = 0,
         hmc_mode: str = "faithful",
+        hmc_init: str = "random",
         num_chains: int = 1,
         train_acc_samples: int = 10,
         verbose: bool = True,
@@ -128,6 +129,16 @@ class BNN:
                 )
                 log_prior = -0.5 * jnp.sum(q * q)
                 return -(log_prior + loglik)
+
+            if hmc_init == "map":
+                # Warm-start at a MAP-ish point (Adam on the full-data
+                # potential) — see inference.hmc.map_warm_start. Opt-in: the
+                # reference starts from the module's random init.
+                from robustbnns_tpu.inference.hmc import map_warm_start
+
+                flat0, _ = map_warm_start(potential_fn, flat0, data=(x, labels))
+            elif hmc_init != "random":
+                raise ValueError(f"unknown hmc_init {hmc_init!r}")
 
             # Reference batching: sequential full batches of `batch_size`
             # (model_bnn.py:274-277); the ragged tail batch is included.

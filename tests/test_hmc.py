@@ -169,3 +169,36 @@ def test_sharp_posterior_survives_bad_initial_step():
     assert float(np.abs(s[-100:]).mean()) < 10 * scale
     assert float(s[-100:].std()) > 0.3 * scale
     assert float(jnp.mean(info.accept_prob)) > 0.4
+
+
+def test_map_warm_start_descends_potential():
+    from robustbnns_tpu.inference.hmc import map_warm_start
+
+    def potential(q, center):
+        return 0.5 * jnp.sum((q - center) ** 2) * 1e4  # sharp
+
+    center = jnp.full((6,), 3.0)
+    q0 = jnp.zeros((6,))
+    q_map, us = map_warm_start(potential, q0, data=(center,), steps=500, lr=0.05)
+    assert float(us[-1]) < float(us[0]) * 1e-2
+    np.testing.assert_allclose(np.asarray(q_map), 3.0, atol=0.1)
+
+
+def test_bnn_hmc_map_init_improves_sharp_posterior():
+    """With lots of data, MAP-init HMC reaches useful accuracy where the
+    random-init chain (faithful reference behavior) may not."""
+    from robustbnns_tpu.config import BNNConfig
+    from robustbnns_tpu.data import load_dataset
+    from robustbnns_tpu.models import BNN
+
+    x_train, y_train, x_test, y_test, inp_shape, out = load_dataset(
+        "half_moons", n_inputs=4000
+    )
+    cfg = BNNConfig("half_moons", 16, "leaky", "fc", "hmc",
+                    n_samples=20, warmup=30, step_size=0.001)
+    bnn = BNN.from_config(cfg, inp_shape, out).train(
+        x_train, y_train, batch_size=4000, hmc_mode="full", hmc_init="map",
+        verbose=False,
+    )
+    acc = bnn.evaluate(x_test, y_test, n_samples=20, verbose=False)
+    assert acc > 90.0
