@@ -8,7 +8,7 @@ import os
 import pandas as pd
 
 from robustbnns_tpu.cli.common import boolean, setup_device
-from robustbnns_tpu.config import DATA, multimodal_BNNs, resolve_rel_path
+from robustbnns_tpu.config import DATA, multimodal_BNNs
 
 
 def main(args):

@@ -16,7 +16,7 @@ for SVI / 1024 for HMC (``:33``).
 from __future__ import annotations
 
 import itertools
-from typing import Iterable, Optional, Sequence
+from typing import Iterable, Sequence
 
 from robustbnns_tpu.config import BNNConfig, TESTS
 

@@ -30,7 +30,7 @@ that; ``mode='full'`` runs one proper full-data chain (what
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

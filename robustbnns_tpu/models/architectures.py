@@ -35,7 +35,7 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, NamedTuple, Sequence, Tuple
+from typing import Callable, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

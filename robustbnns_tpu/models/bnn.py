@@ -27,12 +27,6 @@ from robustbnns_tpu.config import BNNConfig, TESTS, bnn_batch_size
 from robustbnns_tpu.inference.hmc import hmc_train_batched
 from robustbnns_tpu.inference.svi import MeanFieldPosterior, svi_train
 from robustbnns_tpu.models.architectures import Architecture, build_architecture
-from robustbnns_tpu.predict import (
-    hmc_predict,
-    resolve_sample_keys,
-    svi_avg_posterior_predict,
-    svi_predict,
-)
 from robustbnns_tpu.utils.checkpoint import load_pytree, save_pytree
 from robustbnns_tpu.utils.pytree import flatten_tree_to_vector
 
@@ -190,6 +184,16 @@ class BNN:
         ``avg_posterior`` applies to SVI only; for HMC it is ignored exactly as
         the reference ignores it in its HMC branch (``model_bnn.py:243-255``).
         """
+        # Imported here (not at module top) to keep `import robustbnns_tpu.predict`
+        # usable as a first import — predict pulls in models.architectures, and a
+        # top-level import back into predict would close an import cycle.
+        from robustbnns_tpu.predict import (
+            hmc_predict,
+            resolve_sample_keys,
+            svi_avg_posterior_predict,
+            svi_predict,
+        )
+
         if self.config.inference == "svi":
             if self.posterior is None:
                 raise ValueError("train() or load() the BNN first")
@@ -288,7 +292,11 @@ class BNN:
         # consumers can route the (possibly huge) posterior as a TRACED
         # argument instead of a baked-in constant — a 100-sample HMC posterior
         # as constants is ~100× the parameter count in the compile payload.
-        from robustbnns_tpu.predict import attach_pure
+        from robustbnns_tpu.predict import (
+            attach_pure,
+            hmc_predict,
+            svi_predict,
+        )
         from robustbnns_tpu.utils.prng import keys_from_seeds
 
         apply = self.arch.apply

@@ -28,7 +28,7 @@ model classes are thin conveniences over them.
 """
 from __future__ import annotations
 
-import dataclasses
+
 from functools import partial
 from typing import Optional, Sequence
 
