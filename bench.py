@@ -274,13 +274,23 @@ def bench_torch_pgd(n_images: int = 2, n_samples: int = 10, iters: int = 40) -> 
 
 
 def main():
-    results = {}
-    jax_svi = bench_jax_svi()
-    print(f"jax svi: {jax_svi:.1f} steps/s", file=sys.stderr)
-    jax_hmc = bench_jax_hmc()
-    print(f"jax hmc leapfrog: {jax_hmc:.1f} steps/s", file=sys.stderr)
-    jax_pgd = bench_jax_pgd()
-    print(f"jax bayesian pgd: {jax_pgd:.1f} imgs/s", file=sys.stderr)
+    # ROBUSTBNNS_PROFILE=<dir>: wrap the JAX measurements in a jax.profiler
+    # trace for TensorBoard/XProf inspection.
+    import contextlib
+
+    trace_dir = os.environ.get("ROBUSTBNNS_PROFILE")
+    ctx = contextlib.nullcontext()
+    if trace_dir:
+        import jax
+
+        ctx = jax.profiler.trace(trace_dir)
+    with ctx:
+        jax_svi = bench_jax_svi()
+        print(f"jax svi: {jax_svi:.1f} steps/s", file=sys.stderr)
+        jax_hmc = bench_jax_hmc()
+        print(f"jax hmc leapfrog: {jax_hmc:.1f} steps/s", file=sys.stderr)
+        jax_pgd = bench_jax_pgd()
+        print(f"jax bayesian pgd: {jax_pgd:.1f} imgs/s", file=sys.stderr)
 
     def safe(fn, *a):
         try:

@@ -6,6 +6,8 @@ from robustbnns_tpu.parallel.mesh import (
     sharded_predict,
     sharded_attack_grads,
     sharded_hmc_chains,
+    sharded_fgsm,
+    sharded_pgd,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "sharded_predict",
     "sharded_attack_grads",
     "sharded_hmc_chains",
+    "sharded_fgsm",
+    "sharded_pgd",
 ]

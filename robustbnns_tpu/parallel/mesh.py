@@ -181,3 +181,63 @@ def sharded_attack_grads(forward_fn, mesh: Mesh):
         return jax.grad(total)(x)
 
     return grads
+
+
+def sharded_fgsm(pure_fn, mesh: Mesh):
+    """Data-parallel FGSM over the mesh's ``data`` axis.
+
+    ``pure_fn(state, x, key)`` is a model predictive split (see
+    ``predict.attach_pure``); ``state`` is replicated, the attack set sharded.
+    Attacks are embarrassingly batch-parallel — zero collectives, linear
+    scaling in cores.
+    """
+    from robustbnns_tpu.attacks.gradient_attacks import ce_on_outputs
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, batch_sharding, batch_sharding, None, repl),
+        out_shardings=batch_sharding,
+    )
+    def run(state, x, labels, epsilon, key):
+        def total(xx):
+            return jnp.sum(ce_on_outputs(pure_fn(state, xx, key), labels))
+
+        grads = jax.grad(total)(x)
+        return jnp.clip(x + epsilon * jnp.sign(grads), 0.0, 1.0)
+
+    return run
+
+
+def sharded_pgd(pure_fn, mesh: Mesh, iters: int = 40):
+    """Data-parallel 40-iteration PGD over the ``data`` axis (reference
+    semantics: per-iteration fresh draws, projection, clamp)."""
+    from robustbnns_tpu.attacks.gradient_attacks import ce_on_outputs
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, batch_sharding, batch_sharding, None, None, repl),
+        out_shardings=batch_sharding,
+    )
+    def run(state, x, labels, epsilon, alpha, key):
+        x0 = x
+
+        def body(x, it_key):
+            def total(xx):
+                return jnp.sum(ce_on_outputs(pure_fn(state, xx, it_key), labels))
+
+            grads = jax.grad(total)(x)
+            x_adv = x + alpha * jnp.sign(grads)
+            eta = jnp.clip(x_adv - x0, -epsilon, epsilon)
+            return jnp.clip(x0 + eta, 0.0, 1.0), None
+
+        keys = jax.random.split(key, iters)
+        x, _ = jax.lax.scan(body, x, keys)
+        return x
+
+    return run

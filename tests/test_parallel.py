@@ -149,3 +149,59 @@ def test_sharded_hmc_chains(mesh8):
     assert samples.shape == (n_chains, 200, 4)
     flat = np.asarray(samples).reshape(-1)
     assert abs(flat.mean()) < 0.15 and abs(flat.std() - 1.0) < 0.15
+
+
+def test_sharded_fgsm_matches_unsharded(mesh8):
+    """Mesh-parallel FGSM equals the single-device attack exactly."""
+    from robustbnns_tpu.attacks import fgsm_attack
+    from robustbnns_tpu.config import BNNConfig
+    from robustbnns_tpu.data import load_dataset
+    from robustbnns_tpu.models import BNN
+    from robustbnns_tpu.parallel import replicate, shard_batch, sharded_fgsm
+    from robustbnns_tpu.predict import split_pure
+
+    x_train, y_train, x_test, y_test, *_ = load_dataset("half_moons", n_inputs=400)
+    cfg = BNNConfig("half_moons", 16, "leaky", "fc", "svi", epochs=2, lr=0.01)
+    bnn = BNN.from_config(cfg, (1, 2, 1), 2).train(
+        x_train, y_train, batch_size=64, train_acc_samples=0, verbose=False
+    )
+    fn = bnn.predictive_fn(n_samples=4)
+    pure_fn, state = split_pure(fn)
+
+    x = jnp.asarray(x_test[:32])
+    y = jnp.asarray(y_test[:32])
+    labels = jnp.argmax(y, axis=-1)
+    key = jax.random.key(5)
+
+    adv_ref = fgsm_attack(fn, x, y, epsilon=0.3, key=key)
+    run = sharded_fgsm(pure_fn, mesh8)
+    adv_sh = run(
+        replicate(state, mesh8), shard_batch(x, mesh8),
+        shard_batch(labels, mesh8), 0.3, key,
+    )
+    np.testing.assert_allclose(np.asarray(adv_sh), np.asarray(adv_ref), atol=1e-6)
+
+
+def test_sharded_pgd_runs_and_stays_in_ball(mesh8):
+    from robustbnns_tpu.config import BNNConfig
+    from robustbnns_tpu.data import load_dataset
+    from robustbnns_tpu.models import BNN
+    from robustbnns_tpu.parallel import replicate, shard_batch, sharded_pgd
+    from robustbnns_tpu.predict import split_pure
+
+    x_train, y_train, x_test, y_test, *_ = load_dataset("half_moons", n_inputs=400)
+    cfg = BNNConfig("half_moons", 16, "leaky", "fc", "svi", epochs=2, lr=0.01)
+    bnn = BNN.from_config(cfg, (1, 2, 1), 2).train(
+        x_train, y_train, batch_size=64, train_acc_samples=0, verbose=False
+    )
+    pure_fn, state = split_pure(bnn.predictive_fn(n_samples=2))
+
+    x = jnp.asarray(x_test[:16])
+    labels = jnp.argmax(jnp.asarray(y_test[:16]), axis=-1)
+    run = sharded_pgd(pure_fn, mesh8, iters=5)
+    adv = run(
+        replicate(state, mesh8), shard_batch(x, mesh8),
+        shard_batch(labels, mesh8), 0.2, 2.0, jax.random.key(0),
+    )
+    assert float(jnp.max(jnp.abs(adv - x))) <= 0.2 + 1e-6
+    assert float(adv.min()) >= 0.0 and float(adv.max()) <= 1.0
