@@ -93,7 +93,24 @@ def _conv_init(key, k, in_ch, out_ch):
 
 
 def _conv2d_valid(x, w, b):
-    """5×5 VALID convolution, NHWC/HWIO — MXU-mapped by XLA."""
+    """5×5 VALID convolution, NHWC/HWIO — MXU-mapped by XLA.
+
+    Honors the ``ROBUSTBNNS_BF16`` fast path like the dense layers: bf16
+    operands, float32 accumulation.
+    """
+    dt = _matmul_dtype()
+    if dt is not None:
+        # Fully-bf16 conv (output included) so the transposed conv in the
+        # backward pass sees matching dtypes; upcast after. MXU still
+        # accumulates in f32 internally.
+        y = lax.conv_general_dilated(
+            x.astype(dt),
+            w.astype(dt),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y.astype(jnp.float32) + b
     y = lax.conv_general_dilated(
         x,
         w,

@@ -108,6 +108,7 @@ def test_bf16_matmul_optin(monkeypatch):
     arch = build_architecture("fc2", "leaky", (1, 2, 1), 2, 16)
     params = arch.init(jax.random.key(0))
     x = jax.random.uniform(jax.random.key(1), (8, 1, 2, 1))
+    monkeypatch.delenv("ROBUSTBNNS_BF16", raising=False)
     ref = np.asarray(arch.apply(params, x))
     monkeypatch.setenv("ROBUSTBNNS_BF16", "1")
     got = np.asarray(arch.apply(params, x))
