@@ -253,6 +253,13 @@ def attack(
             n_samples=n_samples,
             rel_path=rel_path,
         )
+        # Reference also dumps original/adversarial image grids
+        # (adversarialAttacks.py:135-141).
+        from robustbnns_tpu.utils.plotting import plot_save_grid_images
+
+        d = os.path.join(rel_path, savedir if savedir is not None else filename)
+        plot_save_grid_images(np.asarray(x), f"{filename}_{method}_original.png", d)
+        plot_save_grid_images(np.asarray(x_adv), f"{filename}_{method}_attack.png", d)
     return x_adv
 
 
