@@ -57,10 +57,12 @@ def bench_jax_svi(n_steps_timed: int = 300, batch_size: int = 128) -> float:
     x = jnp.asarray(rng.random((n, 28, 28, 1), dtype=np.float32))
     y = jnp.asarray(np.eye(10, dtype=np.float32)[rng.integers(0, 10, size=n)])
 
+    from robustbnns_tpu.utils.prng import make_key
+
     def run(epoch):
         return _svi_epoch(
             arch.apply, optimizer, batch_size, 0, posterior, opt_state, x, y,
-            jax.random.key(epoch),
+            jax.random.fold_in(make_key(0), epoch),
         )
 
     _sync(run(0)[2])  # compile
