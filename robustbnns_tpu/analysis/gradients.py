@@ -63,6 +63,7 @@ def expected_loss_gradients(
     n_samples: Optional[int],
     seeds: Optional[Sequence[int]] = None,
     batch_size: int = 128,
+    mesh=None,
 ) -> jax.Array:
     """Mean input gradient over S fixed posterior draws — shape like ``x``.
 
@@ -70,7 +71,14 @@ def expected_loss_gradients(
     with ``predictive_fn`` for the deterministic case (``n_samples=None``).
     ``seeds`` defaults to ``range(n_samples)`` — the reference's fixed-draw
     scheme (``lossGradients.py:29-33``).
+
+    With ``mesh`` (or a process default) the stacked draws shard over the
+    mesh's ``sample`` axis and each batch over ``data`` — the two real scaling
+    axes of this estimator; the mean over draws becomes a ``psum`` over ICI.
     """
+    from robustbnns_tpu.parallel.mesh import resolve_mesh, shard_axis
+
+    mesh = resolve_mesh(mesh)
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     labels = jnp.argmax(y, axis=-1) if y.ndim > 1 else y
@@ -84,12 +92,14 @@ def expected_loss_gradients(
                 lambda xx: jnp.sum(ce_on_outputs(forward(xx), labels))
             )(x)
 
-        chunks = [
-            det_grads(
-                x[i : i + batch_size], labels[i : i + batch_size]
-            )
-            for i in range(0, x.shape[0], batch_size)
-        ]
+        chunks = []
+        for i in range(0, x.shape[0], batch_size):
+            bx = x[i : i + batch_size]
+            bl = labels[i : i + batch_size]
+            if mesh is not None:
+                bx = shard_axis(bx, mesh, 0, "data")
+                bl = shard_axis(bl, mesh, 0, "data")
+            chunks.append(det_grads(bx, bl))
         return jnp.concatenate(chunks)
 
     if seeds is None:
@@ -112,11 +122,19 @@ def expected_loss_gradients(
     else:
         raise ValueError("model has no posterior/samples — train() or load() first")
 
+    if mesh is not None:
+        stacked = jax.tree_util.tree_map(
+            lambda a: shard_axis(a, mesh, 0, "sample"), stacked
+        )
+
     chunks = []
     for i in range(0, x.shape[0], batch_size):
-        g = _per_sample_input_grads(
-            model.arch.apply, stacked, x[i : i + batch_size], labels[i : i + batch_size]
-        )
+        bx = x[i : i + batch_size]
+        bl = labels[i : i + batch_size]
+        if mesh is not None:
+            bx = shard_axis(bx, mesh, 0, "data")
+            bl = shard_axis(bl, mesh, 0, "data")
+        g = _per_sample_input_grads(model.arch.apply, stacked, bx, bl)
         chunks.append(g.mean(axis=0))
     return jnp.concatenate(chunks)
 
@@ -131,6 +149,7 @@ def loss_gradients(
     savedir: str,
     rel_path: str = DATA,
     batch_size: int = 128,
+    mesh=None,
     verbose: bool = True,
 ) -> np.ndarray:
     """Compute + persist expected gradients (reference ``lossGradients.py:52-68``).
@@ -140,7 +159,7 @@ def loss_gradients(
     if verbose:
         print(f"\n === Loss gradients on {len(x)} input images:")
     grads = expected_loss_gradients(
-        model, x, y, n_samples=n_samples, batch_size=batch_size
+        model, x, y, n_samples=n_samples, batch_size=batch_size, mesh=mesh
     )
     if verbose:
         print(f"\nmin = {float(grads.min()):.4f} \t max = {float(grads.max()):.4f}")

@@ -52,12 +52,17 @@ from robustbnns_tpu.attacks.measures import softmax_robustness
 from robustbnns_tpu.config import TESTS
 
 
-def _normalize_forward(forward_fn: Callable):
-    """Uniform ``f(x, key)`` wrapper, memoized on the closure so jitted attack
-    programs (keyed on the function object) compile once per configuration."""
-    from robustbnns_tpu.predict import normalize_forward
+def _shard_attack_args(mesh, state, arrays):
+    """Mesh placement for one attack batch: batch-axis arrays shard over
+    ``data``, the model state replicates. ``arrays`` whose leading dim doesn't
+    divide the mesh (ragged tail batches) replicate — correct, just local."""
+    from robustbnns_tpu.parallel.mesh import replicate, shard_axis
 
-    return normalize_forward(forward_fn)
+    state = replicate(state, mesh) if state is not None else None
+    return state, tuple(
+        a if not hasattr(a, "shape") or a.ndim == 0 else shard_axis(a, mesh, 0, "data")
+        for a in arrays
+    )
 
 
 def ce_on_outputs(outputs: jax.Array, labels: jax.Array) -> jax.Array:
@@ -135,20 +140,29 @@ def fgsm_attack(
     *,
     epsilon: float = 0.3,
     key: Optional[jax.Array] = None,
+    mesh=None,
 ) -> jax.Array:
     """Batched FGSM (reference ``adversarialAttacks.py:69-83``).
 
     ``y`` may be one-hot or integer labels. ``key`` seeds the Bayesian
-    posterior draws (ignored by deterministic forwards).
+    posterior draws (ignored by deterministic forwards). With ``mesh`` (or a
+    process default) the batch shards over the mesh's ``data`` axis — attacks
+    are embarrassingly batch-parallel, zero collectives.
     """
     labels = y if y.ndim == 1 else jnp.argmax(y, axis=-1)
     key = key if key is not None else jax.random.key(0)
-    from robustbnns_tpu.predict import split_pure
+    from robustbnns_tpu.parallel.mesh import resolve_mesh
+    from robustbnns_tpu.predict import normalize_forward, split_pure
 
+    mesh = resolve_mesh(mesh)
     pure_fn, state = split_pure(forward_fn)
     if pure_fn is not None:
+        if mesh is not None:
+            state, (x, labels) = _shard_attack_args(mesh, state, (x, labels))
         return _fgsm_batch_pure(pure_fn, state, x, labels, epsilon, key)
-    return _fgsm_batch(_normalize_forward(forward_fn), x, labels, epsilon, key)
+    if mesh is not None:
+        _, (x, labels) = _shard_attack_args(mesh, None, (x, labels))
+    return _fgsm_batch(normalize_forward(forward_fn), x, labels, epsilon, key)
 
 
 def pgd_attack(
@@ -160,12 +174,14 @@ def pgd_attack(
     alpha: Optional[float] = None,
     iters: int = 40,
     key: Optional[jax.Array] = None,
+    mesh=None,
 ) -> jax.Array:
     """Batched 40-iteration PGD (reference ``adversarialAttacks.py:86-108``).
 
     With ``epsilon`` given and ``alpha=None``, uses the reference's per-image
     step ``alpha = 2 / image.max()`` (``:89``); ``epsilon=None`` selects the
     reference's no-hyperparameter defaults ``(0.5, 2/225, 40)`` (``:91``).
+    With ``mesh`` (or a process default) the batch shards over ``data``.
     """
     labels = y if y.ndim == 1 else jnp.argmax(y, axis=-1)
     key = key if key is not None else jax.random.key(0)
@@ -177,15 +193,23 @@ def pgd_attack(
             jnp.reshape(x, (x.shape[0], -1)), axis=-1
         ).reshape((x.shape[0],) + (1,) * (x.ndim - 1))
         alpha = 2.0 / per_image_max
-    from robustbnns_tpu.predict import split_pure
+    from robustbnns_tpu.parallel.mesh import resolve_mesh
+    from robustbnns_tpu.predict import normalize_forward, split_pure
 
+    mesh = resolve_mesh(mesh)
     pure_fn, state = split_pure(forward_fn)
     if pure_fn is not None:
+        if mesh is not None:
+            state, (x, labels, alpha) = _shard_attack_args(
+                mesh, state, (x, labels, alpha)
+            )
         return _pgd_batch_pure(
             pure_fn, iters, state, x, labels, epsilon, alpha, key
         )
+    if mesh is not None:
+        _, (x, labels, alpha) = _shard_attack_args(mesh, None, (x, labels, alpha))
     return _pgd_batch(
-        _normalize_forward(forward_fn), iters, x, labels, epsilon, alpha, key
+        normalize_forward(forward_fn), iters, x, labels, epsilon, alpha, key
     )
 
 
@@ -206,6 +230,7 @@ def attack(
     fused: bool = False,
     key: Optional[jax.Array] = None,
     batch_size: int = 128,
+    mesh=None,
     filename: Optional[str] = None,
     savedir: Optional[str] = None,
     rel_path: str = TESTS,
@@ -218,6 +243,9 @@ def attack(
     — NN, BNN or ensemble. Batches are processed as jitted device programs
     instead of the reference's per-image Python loop. ``fused=True`` selects
     the Pallas fused predictive (SVI fc/fc2 — the TPU throughput path).
+    ``mesh`` (or a process default) shards every batch over the mesh's
+    ``data`` axis — the multi-chip replacement for the reference's joblib
+    fan-out of attack work (``grid_search_halfMoons.py:122-131``).
     """
     if verbose:
         print(f"\nProducing {method} attacks:")
@@ -236,9 +264,13 @@ def attack(
         by = y[i * batch_size : (i + 1) * batch_size]
         bkey = jax.random.fold_in(key, i)
         if method == "fgsm":
-            adv = fgsm_attack(forward_fn, bx, by, epsilon=epsilon, key=bkey)
+            adv = fgsm_attack(
+                forward_fn, bx, by, epsilon=epsilon, key=bkey, mesh=mesh
+            )
         elif method == "pgd":
-            adv = pgd_attack(forward_fn, bx, by, epsilon=epsilon, key=bkey)
+            adv = pgd_attack(
+                forward_fn, bx, by, epsilon=epsilon, key=bkey, mesh=mesh
+            )
         else:
             raise ValueError(f"unknown attack method {method!r}")
         chunks.append(adv)
@@ -293,12 +325,14 @@ def attack_evaluation(
     n_samples: Optional[int] = None,
     key: Optional[jax.Array] = None,
     batch_size: int = 128,
+    mesh=None,
     verbose: bool = True,
 ):
     """Clean vs adversarial accuracy + softmax robustness (reference ``:151-198``).
 
     Evaluation draws are seeded (``key`` defaults to seed 0, mirroring the
-    reference's ``pyro.set_rng_seed(0)`` at ``:160-161``).
+    reference's ``pyro.set_rng_seed(0)`` at ``:160-161``). With ``mesh`` the
+    per-batch rows shard over the mesh's ``data`` axis.
     """
     from robustbnns_tpu.predict import batched_eval
 
@@ -310,10 +344,10 @@ def attack_evaluation(
 
     k1, k2 = jax.random.split(key)
     original_outputs, orig_correct = batched_eval(
-        forward_fn, x, y, batch_size=batch_size, key=k1
+        forward_fn, x, y, batch_size=batch_size, key=k1, mesh=mesh
     )
     adversarial_outputs, adv_correct = batched_eval(
-        forward_fn, xa, y, batch_size=batch_size, key=k2
+        forward_fn, xa, y, batch_size=batch_size, key=k2, mesh=mesh
     )
 
     original_accuracy = 100.0 * float(orig_correct) / x.shape[0]

@@ -58,7 +58,7 @@ def _build_nn(cfg, inp_shape, out_size, rel_path, args, x_train, y_train,
 
 
 def main(args):
-    setup_device(args.device)
+    setup_device(args.device, getattr(args, "mesh", None))
 
     from robustbnns_tpu.attacks import attack, attack_evaluation, load_attack
     from robustbnns_tpu.models import BNN, EnsembleNN

@@ -21,7 +21,7 @@ from robustbnns_tpu.config import (
 
 
 def main(args):
-    setup_device(args.device)
+    setup_device(args.device, getattr(args, "mesh", None))
 
     from robustbnns_tpu.experiments.baseline import (
         build_baseline_attacks_df,

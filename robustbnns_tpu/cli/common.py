@@ -15,17 +15,41 @@ def boolean(value: str) -> bool:
     raise argparse.ArgumentTypeError(f"expected True/False, got {value!r}")
 
 
-def setup_device(device: str) -> None:
+def setup_device(device: str, mesh: str | None = None) -> None:
     """Map the reference's ``--device cpu|cuda`` to JAX platform selection.
 
     ``cpu`` pins the CPU backend; ``cuda``/``tpu``/``auto`` use the default
     (the TPU when a plugin is registered). Must run before the first jax op.
+
+    ``mesh`` (or env ``ROBUSTBNNS_MESH``) installs a process-default device
+    mesh so every mesh-aware API in the process runs SPMD over it:
+    ``"4x2"`` = (data=4, sample=2), ``"8"`` = (data=8, sample=1),
+    ``"auto"`` = all devices on the data axis.
     """
+    import os
+
     import jax
 
     if device == "cpu":
         jax.config.update("jax_platforms", "cpu")
     # anything else: leave the default backend (TPU under axon).
+
+    spec = mesh if mesh is not None else os.environ.get("ROBUSTBNNS_MESH")
+    if spec:
+        from robustbnns_tpu.parallel import make_mesh, set_default_mesh
+
+        if spec == "auto":
+            m = make_mesh()
+        elif "x" in spec:
+            n_data, n_sample = (int(s) for s in spec.split("x"))
+            m = make_mesh(n_data=n_data, n_sample=n_sample)
+        else:
+            m = make_mesh(n_data=int(spec), n_sample=1)
+        set_default_mesh(m)
+        print(
+            f"[mesh] default mesh installed: "
+            f"{dict(zip(m.axis_names, m.devices.shape))}"
+        )
 
 
 def add_common_flags(parser: argparse.ArgumentParser, n_inputs_default=60000):
@@ -46,6 +70,12 @@ def add_common_flags(parser: argparse.ArgumentParser, n_inputs_default=60000):
     )
     parser.add_argument(
         "--device", default="tpu", type=str, help="cpu, cuda, tpu"
+    )
+    parser.add_argument(
+        "--mesh",
+        default=None,
+        type=str,
+        help="default device mesh, e.g. 4x2 (data x sample), 8, or auto",
     )
     return parser
 

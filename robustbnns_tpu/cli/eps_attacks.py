@@ -8,7 +8,7 @@ from robustbnns_tpu.config import resolve_rel_path, saved_BNNs
 
 
 def main(args):
-    setup_device(args.device)
+    setup_device(args.device, getattr(args, "mesh", None))
 
     from robustbnns_tpu.experiments.eps import (
         build_eps_attacks_df,

@@ -28,7 +28,7 @@ def _get_gradients(args, bnn, x_test, y_test, n_samples_list, rel_path):
 
 
 def main(args):
-    setup_device(args.device)
+    setup_device(args.device, getattr(args, "mesh", None))
 
     from robustbnns_tpu.experiments.gradients_figures import (
         stripplot_gradients_components,

@@ -12,7 +12,7 @@ from robustbnns_tpu.config import resolve_rel_path
 
 
 def main(args):
-    setup_device(args.device)
+    setup_device(args.device, getattr(args, "mesh", None))
 
     from robustbnns_tpu.experiments.grid_search import (
         grid_attack,
@@ -39,11 +39,17 @@ def main(args):
         )
         posterior_samples = [250]
 
+    from robustbnns_tpu.parallel import host_identity, initialize_distributed
+
+    # Multi-host: connect to a JAX distributed runtime when configured
+    # (coordinator env vars / TPU pod metadata); otherwise fall back to
+    # --host_id/--n_hosts or ROBUSTBNNS_HOST_ID/ROBUSTBNNS_N_HOSTS.
+    initialize_distributed()
+    host_id, n_hosts = host_identity(args.host_id, args.n_hosts)
+
     rel_path = resolve_rel_path(args.savedir)
-    cells = grid_cells_for_host(
-        grid_combinations(**sweep), args.host_id, args.n_hosts
-    )
-    print(f"grid: {len(cells)} cells on host {args.host_id}/{args.n_hosts}")
+    cells = grid_cells_for_host(grid_combinations(**sweep), host_id, n_hosts)
+    print(f"grid: {len(cells)} cells on host {host_id}/{n_hosts}")
 
     grid_train(cells, rel_path, num_chains=args.num_chains)
     if args.compute_grads:
@@ -61,6 +67,6 @@ if __name__ == "__main__":
     parser.add_argument("--compute_attacks", default=False, type=boolean)
     parser.add_argument("--quick", default=False, type=boolean)
     parser.add_argument("--num_chains", default=1, type=int)
-    parser.add_argument("--host_id", default=0, type=int)
-    parser.add_argument("--n_hosts", default=1, type=int)
+    parser.add_argument("--host_id", default=None, type=int)
+    parser.add_argument("--n_hosts", default=None, type=int)
     main(parser.parse_args())

@@ -15,7 +15,7 @@ from robustbnns_tpu.config import resolve_rel_path, saved_BNNs
 
 
 def main(args):
-    setup_device(args.device)
+    setup_device(args.device, getattr(args, "mesh", None))
 
     from robustbnns_tpu.analysis import loss_gradients
     from robustbnns_tpu.models import BNN

@@ -12,7 +12,7 @@ from robustbnns_tpu.config import DATA, multimodal_BNNs
 
 
 def main(args):
-    setup_device(args.device)
+    setup_device(args.device, getattr(args, "mesh", None))
 
     from robustbnns_tpu.experiments.multimodal import (
         build_multimodal_df,
@@ -41,6 +41,8 @@ def main(args):
             rel_path=rel_path,
             train=not args.load_model,
             same_pca=args.same_pca,
+            hmc_sampler=getattr(args, "hmc_sampler", "hmc"),
+            hmc_init=getattr(args, "hmc_init", "random"),
         )
         os.makedirs(csv_dir, exist_ok=True)
         df.to_csv(csv_path)
@@ -58,4 +60,6 @@ if __name__ == "__main__":
     parser.add_argument("--same_pca", default=False, type=boolean)
     parser.add_argument("--debug", default=False, type=boolean)
     parser.add_argument("--device", default="tpu", type=str)
+    parser.add_argument("--hmc_sampler", default="hmc", type=str, help="hmc, nuts")
+    parser.add_argument("--hmc_init", default="random", type=str, help="random, map")
     main(parser.parse_args())

@@ -13,7 +13,7 @@ from robustbnns_tpu.config import resolve_rel_path
 
 
 def main(args):
-    setup_device(args.device)
+    setup_device(args.device, getattr(args, "mesh", None))
 
     from robustbnns_tpu.experiments.grid_search import grid_combinations
     from robustbnns_tpu.experiments.overparam import (

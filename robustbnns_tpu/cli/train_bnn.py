@@ -15,7 +15,7 @@ from robustbnns_tpu.utils.plotting import plot_loss_accuracy
 
 
 def main(args):
-    setup_device(args.device)
+    setup_device(args.device, getattr(args, "mesh", None))
 
     from robustbnns_tpu.models import BNN
 
@@ -30,7 +30,15 @@ def main(args):
     bnn = BNN.from_config(cfg, inp_shape, out_size)
 
     if args.train:
-        bnn.train(x_train, y_train, batch_size=batch_size)
+        bnn.train(
+            x_train,
+            y_train,
+            batch_size=batch_size,
+            hmc_mode=getattr(args, "hmc_mode", "faithful"),
+            hmc_init=getattr(args, "hmc_init", "random"),
+            hmc_sampler=getattr(args, "hmc_sampler", "hmc"),
+            num_chains=getattr(args, "num_chains", 1),
+        )
         bnn.save(rel_path=rel_path)
         if cfg.inference == "svi":
             import os
@@ -56,4 +64,11 @@ def main(args):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     add_common_flags(parser)
+    parser.add_argument("--hmc_mode", default="faithful", type=str,
+                        help="faithful (per-batch mcmc.run), full (one chain)")
+    parser.add_argument("--hmc_init", default="random", type=str,
+                        help="random (reference), map (Adam warm start)")
+    parser.add_argument("--hmc_sampler", default="hmc", type=str,
+                        help="hmc (reference kernel), nuts")
+    parser.add_argument("--num_chains", default=1, type=int)
     main(parser.parse_args())

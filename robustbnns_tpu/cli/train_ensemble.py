@@ -12,7 +12,7 @@ from robustbnns_tpu.config import EnsembleConfig, resolve_rel_path, saved_NNs
 
 
 def main(args):
-    setup_device(args.device)
+    setup_device(args.device, getattr(args, "mesh", None))
 
     from robustbnns_tpu.models import EnsembleNN, build_architecture, train_ensemble
 
@@ -46,6 +46,7 @@ def main(args):
             lr=cfg.lr,
             batch_size=cfg.batch_size,
             name=cfg.name,
+            member_chunk=getattr(args, "member_chunk", None),
         )
         model.save(rel_path)
     else:
@@ -69,5 +70,9 @@ if __name__ == "__main__":
     add_common_flags(parser)
     parser.add_argument(
         "--ensemble_size", default=100, type=int, help="size of the ensemble"
+    )
+    parser.add_argument(
+        "--member_chunk", default=None, type=int,
+        help="train members in chunks of this size (memory escape hatch)",
     )
     main(parser.parse_args())

@@ -14,7 +14,7 @@ from robustbnns_tpu.config import resolve_rel_path, saved_NNs
 
 
 def main(args) -> float | None:
-    setup_device(args.device)
+    setup_device(args.device, getattr(args, "mesh", None))
 
     from robustbnns_tpu.models import build_architecture, evaluate_nn, train_nn
     from robustbnns_tpu.models.nn import DeterministicNN

@@ -180,6 +180,7 @@ def svi_train(
     batch_size: int = 128,
     seed: int = 0,
     train_acc_samples: int = 10,
+    mesh=None,
     verbose: bool = True,
 ):
     """Train a mean-field BNN posterior (reference ``_train_svi``).
@@ -187,6 +188,11 @@ def svi_train(
     Returns ``(posterior, history)`` where history holds per-epoch summed loss
     and train accuracy (reference logs ``loss/N`` and accuracy,
     ``model_bnn.py:335-339``).
+
+    With ``mesh`` (or a process default, ``parallel.set_default_mesh``), the
+    dataset shards over the mesh's ``data`` axis and the posterior/optimizer
+    replicate — jit partitions the epoch program SPMD over the mesh, turning
+    the gradient reductions into ``psum`` over ICI. Same math, same numbers.
     """
     from robustbnns_tpu.utils.prng import make_key
 
@@ -200,6 +206,15 @@ def svi_train(
     x = jnp.asarray(x_train)
     y = jnp.asarray(y_train)
     n = x.shape[0]
+
+    from robustbnns_tpu.parallel.mesh import replicate, resolve_mesh, shard_axis
+
+    mesh = resolve_mesh(mesh)
+    if mesh is not None:
+        x = shard_axis(x, mesh, 0, "data")
+        y = shard_axis(y, mesh, 0, "data")
+        posterior = replicate(posterior, mesh)
+        opt_state = replicate(opt_state, mesh)
 
     start = time.time()
     stats = []

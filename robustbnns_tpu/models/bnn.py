@@ -85,11 +85,22 @@ class BNN:
         seed: int = 0,
         hmc_mode: str = "faithful",
         hmc_init: str = "random",
+        hmc_sampler: str = "hmc",
         num_chains: int = 1,
         train_acc_samples: int = 10,
+        mesh=None,
         verbose: bool = True,
     ) -> "BNN":
-        """Dispatch to the SVI or HMC engine (reference ``model_bnn.py:350-365``)."""
+        """Dispatch to the SVI or HMC engine (reference ``model_bnn.py:350-365``).
+
+        ``mesh`` (or a process default, ``parallel.set_default_mesh``) runs the
+        engine SPMD over the mesh: SVI shards the dataset over ``data``; HMC
+        shards each batch's likelihood over ``data`` (every leapfrog gradient
+        becomes a psum-reduced data-parallel forward/backward over ICI).
+        """
+        from robustbnns_tpu.parallel.mesh import replicate, resolve_mesh, shard_axis
+
+        mesh = resolve_mesh(mesh)
         self._fn_cache.clear()  # cached closures hold the previous state
         batch_size = batch_size or bnn_batch_size(self.config)
 
@@ -103,6 +114,7 @@ class BNN:
                 batch_size=batch_size,
                 seed=seed,
                 train_acc_samples=train_acc_samples,
+                mesh=mesh,
                 verbose=verbose,
             )
             return self
@@ -144,6 +156,15 @@ class BNN:
                 )
                 for i in range(nb)
             ]
+            if mesh is not None:
+                flat0 = replicate(flat0, mesh)
+                batches = [
+                    (
+                        shard_axis(bx, mesh, 0, "data"),
+                        shard_axis(bl, mesh, 0, "data"),
+                    )
+                    for bx, bl in batches
+                ]
 
             flat_samples, self.hmc_info = hmc_train_batched(
                 potential_fn,
@@ -156,6 +177,7 @@ class BNN:
                 num_steps=self.config.num_steps,
                 mode=hmc_mode,
                 num_chains=num_chains,
+                sampler=hmc_sampler,
                 verbose=verbose,
             )
             if num_chains > 1:

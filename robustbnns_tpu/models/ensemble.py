@@ -180,6 +180,8 @@ def train_ensemble(
     lr: float,
     batch_size: int = 100,
     name: str | None = None,
+    mesh=None,
+    member_chunk: int | None = None,
     verbose: bool = True,
 ) -> EnsembleNN:
     """Train all members simultaneously (vs the reference's serial loop).
@@ -188,32 +190,83 @@ def train_ensemble(
     shuffles, matching the reference's seeding scheme
     (``model_ensemble.py:71-81``, ``model_nn.py:182-188``) while running all
     members as one batched program.
-    """
-    member_keys = jax.vmap(jax.random.key)(jnp.arange(ensemble_size, dtype=jnp.uint32))
-    init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(member_keys)
-    shuffle_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(member_keys)
 
-    params_e = jax.vmap(arch.init)(init_keys)
+    ``member_chunk`` is the memory escape hatch for big ensembles (the
+    reference's CIFAR baseline uses 100 conv members,
+    ``plot_baseline_attacks.py:89-90``): members train in independent chunks of
+    that size, bounding live optimizer state to ``member_chunk`` members.
+    Chunking never changes any member's numbers — members share nothing.
+
+    With ``mesh`` (or a process default), each chunk's member axis shards over
+    the mesh's ``sample`` axis (members are embarrassingly parallel — zero
+    collectives) and the dataset replicates.
+    """
+    from robustbnns_tpu.parallel.mesh import replicate, resolve_mesh, shard_axis
+
+    mesh = resolve_mesh(mesh)
     optimizer = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
-    opt_state_e = jax.vmap(optimizer.init)(params_e)
 
     x = jnp.asarray(x_train)
     y = jnp.asarray(y_train)
     n = x.shape[0]
+    if mesh is not None:
+        x = replicate(x, mesh)
+        y = replicate(y, mesh)
+
+    def train_members(seed_lo: int, seed_hi: int):
+        """Train members seed_lo..seed_hi-1; returns (stacked params, losses[epoch])."""
+        member_keys = jax.vmap(jax.random.key)(
+            jnp.arange(seed_lo, seed_hi, dtype=jnp.uint32)
+        )
+        init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(member_keys)
+        shuffle_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(member_keys)
+
+        params_e = jax.vmap(arch.init)(init_keys)
+        opt_state_e = jax.vmap(optimizer.init)(params_e)
+        if mesh is not None:
+            params_e = shard_axis_tree(params_e, mesh)
+            opt_state_e = shard_axis_tree(opt_state_e, mesh)
+            shuffle_keys = shard_axis(shuffle_keys, mesh, 0, "sample")
+
+        chunk_losses = []
+        for epoch in range(epochs):
+            epoch_keys = jax.vmap(lambda k: jax.random.fold_in(k, epoch))(shuffle_keys)
+            params_e, opt_state_e, losses = _ensemble_epoch(
+                arch.apply, optimizer, batch_size, params_e, opt_state_e, x, y, epoch_keys
+            )
+            chunk_losses.append(losses)
+        return params_e, chunk_losses
+
+    def shard_axis_tree(tree, mesh):
+        return jax.tree_util.tree_map(
+            lambda a: shard_axis(a, mesh, 0, "sample"), tree
+        )
 
     start = time.time()
-    all_losses = []
-    for epoch in range(epochs):
-        epoch_keys = jax.vmap(lambda k: jax.random.fold_in(k, epoch))(shuffle_keys)
-        params_e, opt_state_e, losses = _ensemble_epoch(
-            arch.apply, optimizer, batch_size, params_e, opt_state_e, x, y, epoch_keys
+    chunk = member_chunk or ensemble_size
+    chunks, losses_per_chunk = [], []
+    for lo in range(0, ensemble_size, chunk):
+        params_c, losses_c = train_members(lo, min(lo + chunk, ensemble_size))
+        # Pull each finished chunk to host so chunking actually bounds HBM.
+        if member_chunk is not None:
+            params_c = jax.tree_util.tree_map(jax.device_get, params_c)
+        chunks.append(params_c)
+        losses_per_chunk.append(losses_c)
+    if len(chunks) == 1:
+        params_e = chunks[0]
+    else:
+        params_e = jax.tree_util.tree_map(
+            lambda *leaves: jnp.concatenate(leaves, axis=0), *chunks
         )
-        all_losses.append(losses)
+
     if verbose:
-        for epoch, losses in enumerate(all_losses):
+        for epoch in range(epochs):
+            epoch_losses = jnp.concatenate(
+                [jnp.atleast_1d(lc[epoch]) for lc in losses_per_chunk]
+            )
             print(
                 f"\n[Ensemble epoch {epoch + 1}] mean member loss: "
-                f"{float(jnp.mean(losses)) / n:.6f}",
+                f"{float(jnp.mean(epoch_losses)) / n:.6f}",
                 end="\t",
             )
         execution_time(start=start, end=time.time())

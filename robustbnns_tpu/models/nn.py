@@ -153,12 +153,17 @@ def train_nn(
     batch_size: int = 64,
     seed: int = 0,
     name: Optional[str] = None,
+    mesh=None,
     verbose: bool = True,
 ) -> DeterministicNN:
     """Train a deterministic NN (reference ``model_nn.py:175-219``).
 
     ``seed`` controls both init and batch shuffling, mirroring the reference's
     full-determinism seeding block (``model_nn.py:182-188``).
+
+    With ``mesh`` (or a process default), the dataset shards over the mesh's
+    ``data`` axis and the parameters replicate — data-parallel SPMD training
+    with XLA-inserted ``psum`` gradient reductions.
     """
     key = jax.random.key(seed)
     init_key, shuffle_key = jax.random.split(key)
@@ -170,6 +175,15 @@ def train_nn(
     x = jnp.asarray(x_train)
     y = jnp.asarray(y_train)
     n = x.shape[0]
+
+    from robustbnns_tpu.parallel.mesh import replicate, resolve_mesh, shard_axis
+
+    mesh = resolve_mesh(mesh)
+    if mesh is not None:
+        x = shard_axis(x, mesh, 0, "data")
+        y = shard_axis(y, mesh, 0, "data")
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
 
     start = time.time()
     stats = []

@@ -50,9 +50,67 @@ def make_mesh(
     return Mesh(dev_array, axis_names=("data", "sample"))
 
 
+# --------------------------------------------------------------------------- #
+# Process-wide default mesh
+# --------------------------------------------------------------------------- #
+
+_DEFAULT_MESH: Optional[Mesh] = None
+
+
+def set_default_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """Install a process-wide default mesh; returns the previous one.
+
+    Every user-facing API with a ``mesh=`` parameter (``svi_train``,
+    ``train_nn``, ``train_ensemble``, ``attack``, ``attack_evaluation``,
+    ``expected_loss_gradients``, ``BNN.train``) falls back to this when
+    ``mesh`` is not passed — so one ``set_default_mesh(make_mesh())`` at
+    program start shards a whole reference-style script. ``None`` uninstalls.
+    """
+    global _DEFAULT_MESH
+    previous = _DEFAULT_MESH
+    _DEFAULT_MESH = mesh
+    return previous
+
+
+def get_default_mesh() -> Optional[Mesh]:
+    return _DEFAULT_MESH
+
+
+class use_mesh:
+    """Context manager: ``with use_mesh(mesh): ...`` scopes the default mesh."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        self._previous = set_default_mesh(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        set_default_mesh(self._previous)
+        return False
+
+
+def resolve_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """The mesh to use: the explicit argument, else the process default."""
+    return mesh if mesh is not None else _DEFAULT_MESH
+
+
 def shard_batch(x, mesh: Mesh):
     """Place an array with its leading (batch) axis sharded over ``data``."""
     return jax.device_put(x, NamedSharding(mesh, P("data")))
+
+
+def shard_axis(x, mesh: Mesh, axis: int = 0, name: str = "data"):
+    """Shard one axis of ``x`` over mesh axis ``name`` — replicate if the
+    dimension does not divide the mesh axis (correctness over parallelism for
+    ragged tails)."""
+    n = mesh.shape[name]
+    if x.shape[axis] % n == 0:
+        spec = P(*([None] * axis + [name]))
+    else:
+        spec = P()
+    return jax.device_put(x, NamedSharding(mesh, spec))
 
 
 def replicate(tree, mesh: Mesh):

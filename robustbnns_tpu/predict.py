@@ -173,11 +173,13 @@ def normalize_forward(forward_fn):
     return forward_fn._rbnn_wrapped
 
 
-def batched_eval(forward_fn, x, y, *, batch_size: int = 128, key=None):
+def batched_eval(forward_fn, x, y, *, batch_size: int = 128, key=None, mesh=None):
     """Evaluate a predictive closure over a whole set as one jitted dispatch.
 
     Returns ``(outputs, correct_count)`` with ``outputs`` truncated to the real
     rows. Shared by model ``evaluate`` methods and ``attack_evaluation``.
+    With ``mesh`` (or a process default) the within-batch row axis shards over
+    the mesh's ``data`` axis and the model state replicates.
     """
     from robustbnns_tpu.data.loaders import batch_arrays
 
@@ -188,6 +190,18 @@ def batched_eval(forward_fn, x, y, *, batch_size: int = 128, key=None):
     xb, yb, mb = batch_arrays(x, y, batch_size)
     keys = jax.random.split(key, xb.shape[0])
     pure_fn, state = split_pure(forward_fn)
+
+    from robustbnns_tpu.parallel.mesh import replicate, resolve_mesh, shard_axis
+
+    mesh = resolve_mesh(mesh)
+    if mesh is not None:
+        # (num_batches, batch, ...): shard the row axis (1), scan axis stays.
+        xb = shard_axis(xb, mesh, 1, "data")
+        yb = shard_axis(yb, mesh, 1, "data")
+        mb = shard_axis(mb, mesh, 1, "data")
+        if state is not None:
+            state = replicate(state, mesh)
+
     if pure_fn is not None:
         outs, correct = _eval_scan_pure(pure_fn, state, xb, yb, mb, keys)
     else:

@@ -2,7 +2,6 @@ from robustbnns_tpu.utils.prng import (
     key_from_seed,
     keys_from_seeds,
     make_key,
-    split_like,
     use_fast_prng,
 )
 from robustbnns_tpu.utils.pytree import (
@@ -19,7 +18,6 @@ from robustbnns_tpu.utils.timing import execution_time, Timer
 __all__ = [
     "key_from_seed",
     "keys_from_seeds",
-    "split_like",
     "normal_like_tree",
     "tree_size",
     "stack_trees",

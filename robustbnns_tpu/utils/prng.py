@@ -34,11 +34,6 @@ def keys_from_seeds(seeds: Sequence[int] | jax.Array) -> jax.Array:
     return jax.vmap(jax.random.key)(seeds)
 
 
-def split_like(key: jax.Array, n: int) -> jax.Array:
-    """``jax.random.split`` with a clearer name for fan-out over samples."""
-    return jax.random.split(key, n)
-
-
 def use_fast_prng() -> bool:
     """Opt-in hardware-accelerated PRNG (``ROBUSTBNNS_FAST_PRNG=1``).
 

@@ -22,6 +22,18 @@ python3 -m robustbnns_tpu.cli.gradients_components --heatmaps=False --stripplot=
 
 python3 -m robustbnns_tpu.cli.attacks --attack_method="fgsm" --attack=True --n_inputs=$N_INPUTS --model_idx=$MODEL_IDX --train=False --test=False --savedir=$SAVEDIR --device=$DEVICE
 python3 -m robustbnns_tpu.cli.attacks --attack_method="pgd"  --attack=True --n_inputs=$N_INPUTS --model_idx=$MODEL_IDX --train=False --test=False --savedir=$SAVEDIR --device=$DEVICE
+
+# Sharded variant: the same train+attack pipeline SPMD over a (data=4,
+# sample=2) mesh — 8 virtual CPU devices stand in for an 8-chip slice.
+# model_5 (mnist fc2-512 SVI): the fc path compiles in seconds on the host
+# CPU; the conv path's SPMD compile takes minutes/vCPU and has its own
+# hardware bench coverage.
+MODEL_IDX_SHARDED="${MODEL_IDX_SHARDED:-5}"
+echo "=== sharded (mesh=4x2) variant ==="
+XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+python3 -m robustbnns_tpu.cli.train_bnn --n_inputs=$N_INPUTS --model_idx=$MODEL_IDX_SHARDED --train=True --test=True --savedir=$SAVEDIR --device=cpu --mesh=4x2
+XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+python3 -m robustbnns_tpu.cli.attacks --model_type=bnn --attack_method="fgsm" --attack=True --n_inputs=$N_INPUTS --model_idx=$MODEL_IDX_SHARDED --train=False --test=False --savedir=$SAVEDIR --device=cpu --mesh=4x2
 } 2>&1 | tee "$OUT"
 
 echo "smoke test OK — log at $OUT"
