@@ -52,9 +52,16 @@ def build_multimodal_df(
     evaluate: bool = True,
     same_pca: bool = False,
     seed: int = 0,
+    hmc_sampler: str = "hmc",
+    hmc_init: str = "random",
     verbose: bool = True,
 ) -> pd.DataFrame:
-    """Train/load per-n_inputs posteriors, PCA them + prior draws to 2-D."""
+    """Train/load per-n_inputs posteriors, PCA them + prior draws to 2-D.
+
+    ``hmc_sampler='nuts'`` swaps in the No-U-Turn sampler — the fix for the
+    60k-input full-batch chain, which fixed-trajectory HMC cannot mix from a
+    random init (PERFORMANCE.md).
+    """
     from sklearn import decomposition
 
     from robustbnns_tpu.data import load_dataset
@@ -75,6 +82,7 @@ def build_multimodal_df(
             bnn.train(
                 x_train_full[:n_inputs], y_train_full[:n_inputs],
                 batch_size=n_inputs, hmc_mode="full", seed=seed,
+                hmc_sampler=hmc_sampler, hmc_init=hmc_init,
                 verbose=verbose,
             )
             bnn.save(rel_path=rel_path, filename=filename)

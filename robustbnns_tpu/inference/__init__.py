@@ -11,6 +11,10 @@ from robustbnns_tpu.inference.hmc import (
     hmc_sample,
     hmc_train_batched,
 )
+from robustbnns_tpu.inference.nuts import (
+    NUTSConfig,
+    nuts_sample,
+)
 
 __all__ = [
     "MeanFieldPosterior",
@@ -22,4 +26,6 @@ __all__ = [
     "HMCConfig",
     "hmc_sample",
     "hmc_train_batched",
+    "NUTSConfig",
+    "nuts_sample",
 ]

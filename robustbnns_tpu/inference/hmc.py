@@ -26,6 +26,21 @@ only the final batch's ``n_samples//num_batches + 1`` draws, conditioned only
 on that final batch. ``hmc_train_batched(mode='faithful')`` reproduces exactly
 that; ``mode='full'`` runs one proper full-data chain (what
 ``test_multimodal.py:72-74`` does via ``batch_size = n_inputs``).
+
+Pyro-source basis for the faithful-mode semantics (pyro-ppl 1.3.0,
+``pyro/infer/mcmc/api.py`` — not installable on this box, cited from source):
+
+* ``MCMC.run`` rebuilds its sample accumulator (``z_flat_acc``) from scratch
+  on every call and assigns ``self._samples`` at the end — a second ``run``
+  call therefore *discards* the first run's draws rather than appending;
+* ``MCMC.get_samples(num_samples)`` subsamples the stored draws with
+  ``torch.randint(0, batch_size, size=[num_samples])`` + ``index_select`` —
+  ``randint`` draws indices independently, i.e. **with replacement** (and
+  with ``num_samples`` larger than the stored count, as here, duplicates are
+  guaranteed by pigeonhole).
+
+The reference then indexes the ``num_samples`` returned dicts one by one into
+network copies (``model_bnn.py:279-294``), inheriting both behaviors.
 """
 from __future__ import annotations
 
@@ -357,6 +372,7 @@ def hmc_train_batched(
     num_steps: int = 10,
     mode: str = "faithful",
     num_chains: int = 1,
+    sampler: str = "hmc",
     verbose: bool = True,
 ):
     """The reference's training driver semantics (``model_bnn.py:260-301``).
@@ -370,44 +386,67 @@ def hmc_train_batched(
 
     ``mode='full'``: concatenate all batches into one dataset and run a single
     proper chain (the ``test_multimodal.py:72-74`` configuration).
+
+    ``sampler='nuts'`` swaps the fixed-trajectory kernel for the No-U-Turn
+    sampler (:mod:`robustbnns_tpu.inference.nuts`) in either mode — the
+    principled fix for sharp posteriors where 10-step HMC cannot mix;
+    ``num_steps`` is then ignored.
     """
     batches = list(batches)
     num_batches = len(batches)
 
-    if mode == "full":
-        xs = jnp.concatenate([b[0] for b in batches])
-        ys = jnp.concatenate([b[1] for b in batches])
-        cfg = HMCConfig(
-            num_samples=n_samples,
+    def make_cfg(num_samples):
+        if sampler == "nuts":
+            from robustbnns_tpu.inference.nuts import NUTSConfig
+
+            return NUTSConfig(
+                num_samples=num_samples,
+                warmup=warmup,
+                step_size=step_size,
+                num_chains=num_chains,
+            )
+        if sampler != "hmc":
+            raise ValueError(f"unknown sampler {sampler!r}")
+        return HMCConfig(
+            num_samples=num_samples,
             warmup=warmup,
             step_size=step_size,
             num_steps=num_steps,
             num_chains=num_chains,
         )
-        return hmc_sample(potential_fn, init_position, key, cfg, data=(xs, ys))
+
+    def run_sampler(q0, k, cfg, data):
+        if sampler == "nuts":
+            from robustbnns_tpu.inference.nuts import nuts_sample
+
+            return nuts_sample(potential_fn, q0, k, cfg, data=data)
+        return hmc_sample(potential_fn, q0, k, cfg, data=data)
+
+    if mode == "full":
+        xs = jnp.concatenate([b[0] for b in batches])
+        ys = jnp.concatenate([b[1] for b in batches])
+        return run_sampler(init_position, key, make_cfg(n_samples), (xs, ys))
 
     if mode != "faithful":
         raise ValueError(f"unknown HMC training mode {mode!r}")
 
     batch_samples = n_samples // num_batches + 1
-    cfg = HMCConfig(
-        num_samples=batch_samples,
-        warmup=warmup,
-        step_size=step_size,
-        num_steps=num_steps,
-        num_chains=num_chains,
-    )
+    cfg = make_cfg(batch_samples)
     q = init_position
     samples, info = None, None
     for i, (x, labels) in enumerate(batches):
         key, k_run = jax.random.split(key)
-        samples, info = hmc_sample(potential_fn, q, k_run, cfg, data=(x, labels))
+        samples, info = run_sampler(q, k_run, cfg, (x, labels))
         q = samples[-1] if cfg.num_chains == 1 else samples[:, -1]
         if verbose:
-            acc = float(jnp.mean(info.accept_prob))
+            acc_arr = getattr(info, "accept_prob", None)
+            if acc_arr is None:
+                acc_arr = info.accept_stat
+            acc = float(jnp.mean(acc_arr))
             print(
-                f"[HMC batch {i + 1}/{num_batches}] {batch_samples} draws, "
-                f"mean accept {acc:.2f}, step {float(info.step_size):.2e}"
+                f"[{sampler.upper()} batch {i + 1}/{num_batches}] "
+                f"{batch_samples} draws, mean accept {acc:.2f}, "
+                f"step {float(info.step_size):.2e}"
             )
 
     # get_samples(n_samples) with fewer stored draws resamples with replacement.

@@ -1,0 +1,162 @@
+"""NUTS engine tests: internals, Gaussian recovery, BNN integration.
+
+Mirrors tests/test_hmc.py plus NUTS-specific checks (U-turn bookkeeping,
+adaptive trajectory lengths, divergence detection).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robustbnns_tpu.inference.nuts import (
+    NUTSConfig,
+    _trailing_ones,
+    nuts_sample,
+)
+
+
+def _std_normal_potential(q):
+    return 0.5 * jnp.sum(q * q)
+
+
+def test_trailing_ones():
+    expected = {0: 0, 1: 1, 2: 0, 3: 2, 5: 1, 7: 3, 11: 2, 12: 0, 15: 4}
+    for i, n in expected.items():
+        assert int(_trailing_ones(jnp.asarray(i, jnp.int32))) == n
+
+
+def test_nuts_recovers_standard_normal():
+    cfg = NUTSConfig(num_samples=2000, warmup=500, step_size=0.5)
+    samples, info = nuts_sample(
+        _std_normal_potential, jnp.zeros((4,)), jax.random.key(0), cfg
+    )
+    assert samples.shape == (2000, 4)
+    assert float(jnp.mean(info.accept_stat)) > 0.6
+    assert not bool(jnp.any(info.diverging))
+    flat = np.asarray(samples).reshape(-1)
+    assert abs(flat.mean()) < 0.1
+    assert abs(flat.std() - 1.0) < 0.1
+
+
+def test_nuts_recovers_shifted_scaled_gaussian():
+    mean = jnp.array([1.0, -2.0])
+    scale = jnp.array([0.5, 2.0])
+
+    def potential(q):
+        z = (q - mean) / scale
+        return 0.5 * jnp.sum(z * z)
+
+    cfg = NUTSConfig(num_samples=2000, warmup=1000, step_size=0.5)
+    samples, _ = nuts_sample(potential, jnp.zeros((2,)), jax.random.key(42), cfg)
+    s = np.asarray(samples)
+    np.testing.assert_allclose(s.mean(0), np.asarray(mean), atol=0.15)
+    np.testing.assert_allclose(s.std(0), np.asarray(scale), rtol=0.25)
+
+
+def test_nuts_trajectory_length_adapts_to_scale():
+    """On an anisotropic target (unit mass, no adaptation) NUTS must take
+    longer trajectories than on an isotropic one — the whole point of the
+    no-U-turn criterion."""
+    aniso_scale = jnp.array([1.0, 100.0])
+
+    def aniso(q):
+        z = q / aniso_scale
+        return 0.5 * jnp.sum(z * z)
+
+    cfg = NUTSConfig(
+        num_samples=200, warmup=0, step_size=0.5,
+        adapt_step_size=False, adapt_mass_matrix=False,
+    )
+    _, info_iso = nuts_sample(
+        _std_normal_potential, jnp.zeros((2,)), jax.random.key(0), cfg
+    )
+    _, info_aniso = nuts_sample(aniso, jnp.zeros((2,)), jax.random.key(0), cfg)
+    assert float(jnp.mean(info_aniso.num_leapfrog)) > 4 * float(
+        jnp.mean(info_iso.num_leapfrog)
+    )
+
+
+def test_nuts_max_depth_bounds_leapfrogs():
+    cfg = NUTSConfig(
+        num_samples=100, warmup=0, step_size=0.01, max_depth=4,
+        adapt_step_size=False, adapt_mass_matrix=False,
+    )
+    _, info = nuts_sample(
+        _std_normal_potential, jnp.zeros((2,)), jax.random.key(1), cfg
+    )
+    # total leaves after d doublings = 2^d - 1 new leaves
+    assert int(jnp.max(info.num_leapfrog)) <= 2**4 - 1
+
+
+def test_nuts_multi_chain_shapes():
+    cfg = NUTSConfig(num_samples=50, warmup=20, step_size=0.5, num_chains=3)
+    samples, info = nuts_sample(
+        _std_normal_potential, jnp.zeros((4,)), jax.random.key(0), cfg
+    )
+    assert samples.shape == (3, 50, 4)
+    assert info.accept_stat.shape == (3, 50)
+
+
+def test_nuts_sharp_posterior_mixes():
+    """The regression target from HMC: razor-sharp Gaussian, bad initial step."""
+    scale = 1e-3
+
+    def potential(q):
+        return 0.5 * jnp.sum((q / scale) ** 2)
+
+    cfg = NUTSConfig(num_samples=500, warmup=300, step_size=0.5)
+    samples, info = nuts_sample(
+        potential, jnp.full((4,), 0.02), jax.random.key(0), cfg
+    )
+    s = np.asarray(samples)
+    assert float(np.abs(s[-100:]).mean()) < 10 * scale
+    assert float(s[-100:].std()) > 0.3 * scale
+    assert float(jnp.mean(info.accept_stat)) > 0.4
+
+
+def test_nuts_data_traced_potential_and_batched_driver():
+    """sampler='nuts' slots into the reference-semantics training driver."""
+    from robustbnns_tpu.inference.hmc import hmc_train_batched
+
+    def potential_fn(q, x, labels):
+        center = jnp.mean(x)
+        return 0.5 * jnp.sum((q - center) ** 2)
+
+    batches = [
+        (jnp.full((4,), 0.0), jnp.zeros((4,), jnp.int32)),
+        (jnp.full((4,), 5.0), jnp.zeros((4,), jnp.int32)),
+    ]
+    samples, _ = hmc_train_batched(
+        potential_fn,
+        batches,
+        jnp.zeros((3,)),
+        jax.random.key(0),
+        n_samples=40,
+        warmup=100,
+        step_size=0.3,
+        mode="faithful",
+        sampler="nuts",
+        verbose=False,
+    )
+    assert samples.shape == (40, 3)
+    # Faithful semantics preserved: conditioned on the LAST batch only.
+    assert abs(float(samples.mean()) - 5.0) < 1.0
+
+
+def test_bnn_trains_with_nuts_from_random_init():
+    """The capability HMC lacks: full-batch NUTS mixes from a random init."""
+    from robustbnns_tpu.config import BNNConfig
+    from robustbnns_tpu.data import load_dataset
+    from robustbnns_tpu.models import BNN
+
+    x_train, y_train, x_test, y_test, inp_shape, out = load_dataset(
+        "half_moons", n_inputs=2000
+    )
+    cfg = BNNConfig("half_moons", 16, "leaky", "fc", "hmc",
+                    n_samples=30, warmup=60, step_size=0.01)
+    bnn = BNN.from_config(cfg, inp_shape, out).train(
+        x_train, y_train, batch_size=2000, hmc_mode="full",
+        hmc_sampler="nuts", verbose=False,
+    )
+    acc = bnn.evaluate(x_test, y_test, n_samples=30, verbose=False)
+    assert acc > 85.0
