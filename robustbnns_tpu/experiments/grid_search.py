@@ -52,9 +52,20 @@ def grid_combinations(
     )
 
 
-def grid_cells_for_host(cells: Sequence, host_id: int, n_hosts: int) -> list:
-    """Static round-robin partition of grid cells for multi-host fan-out."""
-    return [c for i, c in enumerate(cells) if i % n_hosts == host_id]
+def grid_cells_for_host(
+    cells: Sequence, host_id: int | None = None, n_hosts: int | None = None
+) -> list:
+    """This host's grid cells (round-robin; see ``parallel.partition_for_host``).
+
+    With no arguments the host identity auto-resolves from the JAX distributed
+    runtime or the ``ROBUSTBNNS_HOST_ID``/``ROBUSTBNNS_N_HOSTS`` env vars — so
+    N independent OS processes each running the same grid command split the
+    work with disk as the only channel (the reference's joblib model,
+    ``grid_search_halfMoons.py:52-60``, without joblib).
+    """
+    from robustbnns_tpu.parallel.distributed import partition_for_host
+
+    return partition_for_host(cells, host_id, n_hosts)
 
 
 def moons_batch_size(inference: str) -> int:
