@@ -37,9 +37,17 @@ def _sync(x):
 # --------------------------------------------------------------------------- #
 
 
-def bench_jax_svi(n_steps_timed: int = 300, batch_size: int = 128) -> float:
+def bench_jax_svi(
+    n_steps_timed: int = 300, batch_size: int = 128, train_acc_samples: int = 0
+) -> float:
     """Jitted SVI ELBO steps/sec, conv-512 MNIST at batch 128
-    (reference hot loop ``model_bnn.py:316-325``)."""
+    (reference hot loop ``model_bnn.py:316-325``).
+
+    ``train_acc_samples=0`` measures the pure ELBO step;
+    ``train_acc_samples=10`` is the FAITHFUL epoch — the reference runs a
+    10-guide-trace posterior predictive per batch for train accuracy
+    (``model_bnn.py:327``), which dominates its hot loop (SURVEY §3.1).
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -61,7 +69,8 @@ def bench_jax_svi(n_steps_timed: int = 300, batch_size: int = 128) -> float:
 
     def run(epoch):
         return _svi_epoch(
-            arch.apply, optimizer, batch_size, 0, posterior, opt_state, x, y,
+            arch.apply, optimizer, batch_size, train_acc_samples,
+            posterior, opt_state, x, y,
             jax.random.fold_in(make_key(0), epoch),
         )
 
@@ -171,8 +180,14 @@ def _torch_fc2(ws, x, act):
     return F.linear(h, ws[4], ws[5])
 
 
-def bench_torch_svi(n_steps: int = 4, batch_size: int = 128) -> float:
-    """Mean-field ELBO step on conv-512 (same math as ``model_bnn.py:303-325``)."""
+def bench_torch_svi(
+    n_steps: int = 4, batch_size: int = 128, train_acc_samples: int = 0
+) -> float:
+    """Mean-field ELBO step on conv-512 (same math as ``model_bnn.py:303-325``).
+
+    ``train_acc_samples=10`` adds the reference's per-batch 10-sample
+    posterior-predictive forward (``model_bnn.py:327``) — the faithful epoch.
+    """
     import torch
     import torch.nn.functional as F
 
@@ -187,14 +202,17 @@ def bench_torch_svi(n_steps: int = 4, batch_size: int = 128) -> float:
     x = torch.rand(batch_size, 1, 28, 28)
     yl = torch.randint(0, 10, (batch_size,))
 
-    def step():
-        opt.zero_grad()
-        ws = [l + F.softplus(r) * torch.randn_like(l) for l, r in zip(locs, rhos)]
+    def net(ws, x):
         h = F.leaky_relu(F.conv2d(x, ws[0], ws[1]))
         h = F.max_pool2d(h, 2)
         h = F.leaky_relu(F.conv2d(h, ws[2], ws[3]))
         h = F.max_pool2d(h, 2, stride=1)
-        logits = F.linear(h.flatten(1), ws[4], ws[5])
+        return F.linear(h.flatten(1), ws[4], ws[5])
+
+    def step():
+        opt.zero_grad()
+        ws = [l + F.softplus(r) * torch.randn_like(l) for l, r in zip(locs, rhos)]
+        logits = net(ws, x)
         ll = -F.cross_entropy(logits, yl, reduction="sum")
         kl = sum(
             (0.5 * (F.softplus(r) ** 2 + l**2 - 1.0) - torch.log(F.softplus(r))).sum()
@@ -202,6 +220,14 @@ def bench_torch_svi(n_steps: int = 4, batch_size: int = 128) -> float:
         )
         (kl - ll).backward()
         opt.step()
+        if train_acc_samples:
+            with torch.no_grad():
+                probs = torch.stack([
+                    F.softmax(net([l + F.softplus(r) * torch.randn_like(l)
+                                   for l, r in zip(locs, rhos)], x), -1)
+                    for _ in range(train_acc_samples)
+                ]).mean(0)
+                (probs.argmax(-1) == yl).float().mean()
 
     step()
     t0 = time.perf_counter()
@@ -293,24 +319,41 @@ def main():
     with ctx:
         jax_svi = bench_jax_svi()
         print(f"jax svi: {jax_svi:.1f} steps/s", file=sys.stderr)
+        jax_svi_faithful = bench_jax_svi(train_acc_samples=10)
+        print(
+            f"jax svi faithful (10-sample train acc/batch): "
+            f"{jax_svi_faithful:.1f} steps/s",
+            file=sys.stderr,
+        )
         jax_hmc = bench_jax_hmc()
         print(f"jax hmc leapfrog: {jax_hmc:.1f} steps/s", file=sys.stderr)
         jax_pgd = bench_jax_pgd()
-        print(f"jax bayesian pgd: {jax_pgd:.1f} imgs/s", file=sys.stderr)
+        print(f"jax bayesian pgd (S=10): {jax_pgd:.1f} imgs/s", file=sys.stderr)
+        jax_pgd_100 = bench_jax_pgd(
+            n_images=1024, batch_size=512, n_attack_samples=100
+        )
+        print(f"jax bayesian pgd (S=100): {jax_pgd_100:.1f} imgs/s", file=sys.stderr)
 
-    def safe(fn, *a):
-        try:
-            return fn(*a)
-        except Exception as e:
-            print(f"baseline {fn.__name__} failed: {e}", file=sys.stderr)
-            return float("nan")
+    def median3(fn, *a, **kw):
+        """Median of 3 repetitions — the 1-vCPU box is noisy."""
+        vals = []
+        for _ in range(3):
+            try:
+                vals.append(fn(*a, **kw))
+            except Exception as e:
+                print(f"baseline {fn.__name__} failed: {e}", file=sys.stderr)
+                return float("nan")
+        return float(np.median(vals))
 
-    t_svi = safe(bench_torch_svi)
-    t_hmc = safe(bench_torch_hmc)
-    t_pgd = safe(bench_torch_pgd)
+    t_svi = median3(bench_torch_svi)
+    t_svi_faithful = median3(bench_torch_svi, train_acc_samples=10)
+    t_hmc = median3(bench_torch_hmc)
+    t_pgd = median3(bench_torch_pgd)
+    t_pgd_100 = median3(bench_torch_pgd, n_images=1, n_samples=100)
     print(
-        f"torch-cpu: svi {t_svi:.3f} steps/s, hmc {t_hmc:.2f} steps/s, "
-        f"pgd {t_pgd:.4f} imgs/s",
+        f"torch-cpu medians: svi {t_svi:.3f} steps/s, faithful {t_svi_faithful:.3f}, "
+        f"hmc {t_hmc:.2f} steps/s, pgd {t_pgd:.4f} imgs/s, "
+        f"pgd100 {t_pgd_100:.4f} imgs/s",
         file=sys.stderr,
     )
 
@@ -322,10 +365,17 @@ def main():
                 "unit": "steps/sec",
                 "vs_baseline": round(jax_svi / t_svi, 2),
                 "extras": {
+                    "svi_faithful_steps_per_sec": round(jax_svi_faithful, 2),
+                    "svi_faithful_vs_torch_cpu": round(
+                        jax_svi_faithful / t_svi_faithful, 2
+                    ),
                     "hmc_leapfrog_steps_per_sec": round(jax_hmc, 2),
                     "hmc_vs_torch_cpu": round(jax_hmc / t_hmc, 2),
                     "bayesian_pgd_images_per_sec": round(jax_pgd, 2),
                     "pgd_vs_torch_cpu": round(jax_pgd / t_pgd, 2),
+                    "bayesian_pgd100_images_per_sec": round(jax_pgd_100, 2),
+                    "pgd100_vs_torch_cpu": round(jax_pgd_100 / t_pgd_100, 2),
+                    "torch_baselines_median_of": 3,
                 },
             }
         )
