@@ -58,6 +58,14 @@ def _build_nn(cfg, inp_shape, out_size, rel_path, args, x_train, y_train,
 
 
 def main(args):
+    if args.bf16:
+        # Opt-in bf16 MXU matmuls for the attack/eval forwards — the measured
+        # win on large-contraction paths (PERFORMANCE.md "Scope of the bf16
+        # knob"). Read per-call by the dense layers, so setting it here covers
+        # every forward below.
+        import os
+
+        os.environ["ROBUSTBNNS_BF16"] = "1"
     setup_device(args.device, getattr(args, "mesh", None))
 
     from robustbnns_tpu.attacks import attack, attack_evaluation, load_attack
@@ -106,7 +114,8 @@ def main(args):
         for attack_samples in bayesian_attack_samples:
             x_attack = attack(
                 bnn, x_test, y_test, method=args.attack_method, epsilon=EPSILON,
-                n_samples=attack_samples, filename=bnn.name, rel_path=rel_path,
+                n_samples=attack_samples, fused=args.fused,
+                filename=bnn.name, rel_path=rel_path,
             )
             for defence_samples in bayesian_defence_samples:
                 attack_evaluation(
@@ -153,5 +162,14 @@ if __name__ == "__main__":
     parser.add_argument("--attack", default=True, type=boolean)
     parser.add_argument(
         "--attack_method", default="fgsm", type=str, help="fgsm, pgd"
+    )
+    parser.add_argument(
+        "--fused", default=False, type=boolean,
+        help="route BNN attack forwards through the Pallas fused predictive "
+             "(SVI + fc/fc2 only)",
+    )
+    parser.add_argument(
+        "--bf16", default=False, type=boolean,
+        help="bf16 MXU matmuls for all forwards (sets ROBUSTBNNS_BF16=1)",
     )
     main(parser.parse_args())

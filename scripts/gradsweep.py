@@ -1,0 +1,74 @@
+"""Reference-scale MNIST expected-gradients sweep (VERDICT round-1 item 4c).
+
+The reference's gradients driver (``lossGradients.py:132-149``) loads BNN
+model_0 and computes expected loss gradients at ``posterior_samples_list =
+[1, 10, 50, 100]`` over 500 test inputs, then the figures driver builds the
+component stripplot and vanishing-gradient heatmaps
+(``plot_gradients_components.py:144-179``). This script runs exactly that
+scale on the TPU: MNIST model_0 (conv-512 SVI) trained on 60k inputs
+(synthetic surrogate on this offline box — identical shapes/preprocessing),
+gradients persisted with the reference's ``_samp=<n>_lossGrads`` naming.
+
+Run: ``python scripts/gradsweep.py`` (TPU; writes under gradsweep_out/).
+"""
+import sys, time; sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import os
+os.environ.setdefault("ROBUSTBNNS_DATA_FALLBACK", "synthetic")
+import jax
+import numpy as np
+
+print("backend:", jax.default_backend(), flush=True)
+
+from robustbnns_tpu.analysis import loss_gradients, compute_vanishing_norms_idxs
+from robustbnns_tpu.config import saved_BNNs
+from robustbnns_tpu.data import load_dataset
+from robustbnns_tpu.experiments.gradients_figures import (
+    stripplot_gradients_components,
+    vanishing_gradients_heatmaps,
+)
+from robustbnns_tpu.models import BNN
+
+OUT = "gradsweep_out/"
+N_SAMPLES_LIST = [1, 10, 50, 100]  # lossGradients.py:132
+N_TEST = 500  # lossGradients.py driver scale (VERDICT #4)
+
+t0 = time.time()
+cfg = saved_BNNs["model_0"]
+x_train, y_train, x_test, y_test, inp_shape, out_size = load_dataset(
+    cfg.dataset, n_inputs=60000, shuffle=True, fallback="synthetic"
+)
+bnn = BNN.from_config(cfg, inp_shape, out_size, n_inputs=60000)
+bnn.train(x_train, y_train, verbose=True)
+t1 = time.time()
+print(f"model_0 SVI train (60k): {t1 - t0:.1f}s", flush=True)
+
+acc = bnn.evaluate(x_test[:1000], y_test[:1000], n_samples=10, verbose=False)
+print(f"clean acc (S=10): {acc:.1f}%", flush=True)
+
+xg, yg = x_test[:N_TEST], y_test[:N_TEST]
+grads_list = []
+for s in N_SAMPLES_LIST:
+    ts = time.time()
+    g = loss_gradients(
+        bnn, xg, yg, n_samples=s, filename=bnn.name, savedir=bnn.name,
+        rel_path=OUT, verbose=False,
+    )
+    grads_list.append(g)
+    print(f"S={s}: {N_TEST} images in {time.time() - ts:.1f}s "
+          f"(mean|g|={np.abs(g).mean():.5f})", flush=True)
+
+stripplot_gradients_components(
+    grads_list, N_SAMPLES_LIST, cfg.dataset, bnn.name, plots_dir=OUT + "plots"
+)
+per_image = np.swapaxes(np.asarray(grads_list), 0, 1)
+vanishing = compute_vanishing_norms_idxs(
+    per_image, n_samples_list=N_SAMPLES_LIST, norm="linfty", verbose=False
+)
+paths = vanishing_gradients_heatmaps(
+    xg, grads_list, N_SAMPLES_LIST, bnn.name, plots_dir=OUT + "plots"
+)
+print(
+    f"GRADSWEEP total {time.time() - t0:.1f}s  "
+    f"vanishing {len(vanishing)}/{N_TEST} images, {len(paths)} heatmaps saved",
+    flush=True,
+)
