@@ -48,14 +48,24 @@ def _normal_from_bits(shape):
     splicing the top 23 bits into a [1, 2) float mantissa (exact, sign-safe)
     instead of an integer→float convert. ``u1 = 2 - f1 ∈ (1, 2]`` keeps the log
     argument strictly positive.
+
+    Uses the FULL Box-Muller pair — ``(r·cosθ, r·sinθ)`` are iid N(0,1) — so
+    each uniform pair yields TWO normals: half the PRNG calls and half the
+    log/sqrt work per normal vs the cos-only variant (noise generation is
+    the measured bottleneck of this kernel at production sizes,
+    PERFORMANCE.md "Fused Pallas kernel").
     """
-    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    rows, cols = shape
+    half = -(-((rows + 1) // 2) // 8) * 8  # sublane-aligned (f32 tile is 8x128)
+    b1 = pltpu.bitcast(pltpu.prng_random_bits((half, cols)), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits((half, cols)), jnp.uint32)
     f1 = pltpu.bitcast((b1 >> 9) | jnp.uint32(0x3F800000), jnp.float32)  # [1,2)
     f2 = pltpu.bitcast((b2 >> 9) | jnp.uint32(0x3F800000), jnp.float32)  # [1,2)
     u1 = 2.0 - f1  # (0, 1] — log-safe
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos(_TWO_PI * (f2 - 1.0))
+    theta = _TWO_PI * (f2 - 1.0)
+    z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+    return z if 2 * half == rows else z[:rows]
 
 
 def _softplus(x):
@@ -168,6 +178,11 @@ def _sampled_dense_fwd_impl(x, loc, rho, bloc, brho, n_samples, seed):
             out_specs=pl.BlockSpec((1, b_dim, o_t), lambda o, s, *_: (s, 0, o)),
         ),
         out_shape=jax.ShapeDtypeStruct((n_samples, b_dim, o_dim), jnp.float32),
+        # Forward grid iterations are fully independent (each (o, s) writes its
+        # own output block, seeds its own PRNG) — let Mosaic schedule them.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
         interpret=_interpret(),
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
@@ -369,6 +384,9 @@ def _sampled_dense_xs_fwd_impl(xs, loc, rho, bloc, brho, n_samples, seed):
             out_specs=pl.BlockSpec((1, b_dim, o_t), lambda o, s, *_: (s, 0, o)),
         ),
         out_shape=jax.ShapeDtypeStruct((n_samples, b_dim, o_dim), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
         interpret=_interpret(),
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
