@@ -12,7 +12,11 @@ from robustbnns_tpu.utils.pytree import (
     slice_tree,
     flatten_tree_to_vector,
 )
-from robustbnns_tpu.utils.checkpoint import save_pytree, load_pytree
+from robustbnns_tpu.utils.checkpoint import (
+    load_pytree,
+    save_pytree,
+    wait_for_checkpoints,
+)
 from robustbnns_tpu.utils.timing import execution_time, Timer
 
 __all__ = [
@@ -26,6 +30,7 @@ __all__ = [
     "flatten_tree_to_vector",
     "save_pytree",
     "load_pytree",
+    "wait_for_checkpoints",
     "execution_time",
     "Timer",
 ]

@@ -7,6 +7,16 @@ filename derived from the config's ``name``. The on-disk format is a single
 compressed ``.npz`` holding every leaf under its '/'-joined tree path — one file
 per model even for stacked HMC posteriors (vs the reference's one ``.pt`` per
 posterior sample, ``model_bnn.py:157-162``).
+
+Backend selection (SURVEY §5.4's "Orbax-style checkpoints" note): npz is the
+default — these models are ≤ tens of MB and a single compressed file is the
+most portable artifact. ``ROBUSTBNNS_CKPT_BACKEND=orbax`` (or
+``backend="orbax"``) switches saves to Orbax's async checkpointer instead —
+the save returns after staging device arrays to host and the serialization
+overlaps subsequent compute, which matters for very large stacked posteriors
+(e.g. many-sample HMC over wide models) and for sharded arrays on multi-chip
+meshes, where Orbax writes per-shard without gathering to one host. Loading
+auto-detects the on-disk format, so the two backends interoperate.
 """
 from __future__ import annotations
 
@@ -18,10 +28,23 @@ import jax
 import numpy as np
 
 _META_KEY = "__robustbnns_meta__"
+_ORBAX_SUFFIX = ".orbax"
+_async_checkpointer = None  # lazy singleton; owns the background write threads
 
 
-def save_pytree(tree: Any, path: str, meta: Optional[dict] = None) -> str:
+def _backend(backend: Optional[str]) -> str:
+    backend = backend or os.environ.get("ROBUSTBNNS_CKPT_BACKEND", "npz")
+    if backend not in ("npz", "orbax"):
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
+    return backend
+
+
+def save_pytree(
+    tree: Any, path: str, meta: Optional[dict] = None, backend: Optional[str] = None
+) -> str:
     """Save a pytree of arrays to ``path`` (``.npz`` appended if missing)."""
+    if _backend(backend) == "orbax":
+        return _save_pytree_orbax(tree, path, meta)
     if not path.endswith(".npz"):
         path = path + ".npz"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -38,12 +61,65 @@ def save_pytree(tree: Any, path: str, meta: Optional[dict] = None) -> str:
     return path
 
 
+def _orbax_dir(path: str) -> str:
+    if path.endswith(".npz"):
+        path = path[: -len(".npz")]
+    return os.path.abspath(path + _ORBAX_SUFFIX)
+
+
+def _get_async_checkpointer():
+    global _async_checkpointer
+    if _async_checkpointer is None:
+        import orbax.checkpoint as ocp
+
+        _async_checkpointer = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler()
+        )
+    return _async_checkpointer
+
+
+def _save_pytree_orbax(tree: Any, path: str, meta: Optional[dict]) -> str:
+    """Async Orbax save: returns after staging; serialization runs in background.
+
+    Orbax manages atomicity itself (tmp dir + rename), so an interrupted save
+    never leaves a readable-but-corrupt checkpoint.
+    """
+    d = _orbax_dir(path)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    ckptr = _get_async_checkpointer()
+    host_tree = jax.tree_util.tree_map(np.asarray, tree)
+    ckptr.save(d, args=_orbax_args().StandardSave(host_tree), force=True)
+    with open(d + ".meta.json", "w") as f:
+        json.dump(meta or {}, f)
+    return d
+
+
+def _orbax_args():
+    import orbax.checkpoint as ocp
+
+    return ocp.args
+
+
+def wait_for_checkpoints() -> None:
+    """Block until all in-flight async (orbax) saves are durable on disk."""
+    if _async_checkpointer is not None:
+        _async_checkpointer.wait_until_finished()
+
+
 def load_pytree(template: Any, path: str) -> Any:
     """Load arrays saved by :func:`save_pytree` into the structure of ``template``.
 
     ``template`` supplies the treedef (and validates shapes); leaves are replaced
-    by the stored arrays.
+    by the stored arrays. The on-disk format (npz vs orbax directory) is
+    auto-detected, so checkpoints written under either backend load the same.
     """
+    if not os.path.exists(path if path.endswith(".npz") else path + ".npz"):
+        # No npz — the checkpoint may be an orbax directory, possibly with its
+        # async save still in flight (the final dir only appears on rename).
+        wait_for_checkpoints()
+        d = _orbax_dir(path)
+        if os.path.isdir(d):
+            return _load_pytree_orbax(template, d)
     if not path.endswith(".npz"):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as data:
@@ -65,7 +141,22 @@ def load_pytree(template: Any, path: str) -> Any:
     return jax.tree_util.tree_unflatten(treedef, [jnp.asarray(x) for x in leaves])
 
 
+def _load_pytree_orbax(template: Any, d: str) -> Any:
+    import jax.numpy as jnp
+
+    ckptr = _get_async_checkpointer()
+    ckptr.wait_until_finished()  # the save may still be in flight
+    host_template = jax.tree_util.tree_map(np.asarray, template)
+    restored = ckptr.restore(d, args=_orbax_args().StandardRestore(host_template))
+    return jax.tree_util.tree_map(jnp.asarray, restored)
+
+
 def load_meta(path: str) -> dict:
+    if not os.path.exists(path if path.endswith(".npz") else path + ".npz"):
+        meta_path = _orbax_dir(path) + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                return json.load(f)
     if not path.endswith(".npz"):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as data:

@@ -1,0 +1,78 @@
+"""Checkpoint backends: npz default and the Orbax async alternative.
+
+The npz format is exercised indirectly by every model save/load test; these
+cover the backend seam itself (SURVEY §5.4): explicit backend choice, env-var
+selection, format auto-detection on load, meta round-trips, and async-save
+durability via ``wait_for_checkpoints``.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robustbnns_tpu.utils.checkpoint import (
+    load_meta,
+    load_pytree,
+    save_pytree,
+    wait_for_checkpoints,
+)
+
+
+@pytest.fixture
+def tree():
+    return {
+        "w": jnp.arange(12.0).reshape(3, 4),
+        "nested": {"b": jnp.ones((5,)), "n": jnp.full((2, 2), 7.0)},
+    }
+
+
+def _assert_tree_equal(a, b):
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_npz_roundtrip_with_meta(tree, tmp_path):
+    path = save_pytree(tree, str(tmp_path / "ckpt"), meta={"epochs": 5})
+    assert path.endswith(".npz")
+    _assert_tree_equal(load_pytree(tree, str(tmp_path / "ckpt")), tree)
+    assert load_meta(str(tmp_path / "ckpt")) == {"epochs": 5}
+
+
+def test_orbax_roundtrip_with_meta(tree, tmp_path):
+    path = save_pytree(
+        tree, str(tmp_path / "ckpt"), meta={"lr": 0.01}, backend="orbax"
+    )
+    assert path.endswith(".orbax")
+    wait_for_checkpoints()
+    assert os.path.isdir(path)
+    # load_pytree auto-detects the orbax directory from the same logical path
+    _assert_tree_equal(load_pytree(tree, str(tmp_path / "ckpt")), tree)
+    assert load_meta(str(tmp_path / "ckpt")) == {"lr": 0.01}
+
+
+def test_orbax_backend_via_env(tree, tmp_path, monkeypatch):
+    monkeypatch.setenv("ROBUSTBNNS_CKPT_BACKEND", "orbax")
+    path = save_pytree(tree, str(tmp_path / "envckpt"))
+    assert path.endswith(".orbax")
+    monkeypatch.delenv("ROBUSTBNNS_CKPT_BACKEND")
+    _assert_tree_equal(load_pytree(tree, str(tmp_path / "envckpt")), tree)
+
+
+def test_unknown_backend_rejected(tree, tmp_path):
+    with pytest.raises(ValueError, match="unknown checkpoint backend"):
+        save_pytree(tree, str(tmp_path / "x"), backend="pickle")
+
+
+def test_npz_takes_precedence_when_both_exist(tree, tmp_path):
+    """If an npz and an orbax dir share a logical path, npz (the default
+    format) wins on load — saves under the default backend stay canonical."""
+    other = jax.tree_util.tree_map(lambda x: x * 2, tree)
+    save_pytree(other, str(tmp_path / "both"), backend="orbax")
+    wait_for_checkpoints()
+    save_pytree(tree, str(tmp_path / "both"))
+    _assert_tree_equal(load_pytree(tree, str(tmp_path / "both")), tree)
