@@ -87,10 +87,13 @@ def _fwd_kernel(seed_ref, x_ref, loc_ref, rho_ref, bloc_ref, brho_ref, out_ref):
     out_ref[0, :, :] = y + b[None, :]
 
 
-def _bwd_kernel_full(
-    seed_ref, g_ref, x_ref, loc_ref, rho_ref, brho_ref,
-    dx_ref, dloc_ref, drho_ref, dbloc_ref, dbrho_ref,
-):
+def _bwd_dx_kernel(seed_ref, g_ref, loc_ref, rho_ref, dx_ref):
+    """``dx = Σ_{o,s} g[s,:,o·t:] @ W_{s,o}ᵀ``. The dx block is the whole output
+    (constant index across the grid), so += accumulation over both axes is
+    sound. Split from the parameter pass so attack gradients (which only need
+    dx) let XLA dead-code-eliminate the other pallas_call entirely — the
+    fused attack backward then does one matmul + one noise regeneration per
+    tile instead of three matmuls + elementwise cotangent math."""
     o = pl.program_id(0)
     s = pl.program_id(1)
     pltpu.prng_seed(seed_ref[0] + s * pl.num_programs(0) + o)
@@ -98,19 +101,32 @@ def _bwd_kernel_full(
     i_dim = loc_ref.shape[0]
     o_t = loc_ref.shape[1]
     eps = _normal_from_bits((i_dim + 8, o_t))
-    w_eps = eps[:i_dim]
-    b_eps = eps[i_dim]
-    sp = _softplus(rho_ref[:])
-    w = loc_ref[:] + sp * w_eps
-
-    g = g_ref[0, :, :]  # (B, O_t)
+    w = loc_ref[:] + _softplus(rho_ref[:]) * eps[:i_dim]
 
     @pl.when(jnp.logical_and(o == 0, s == 0))
     def _():
         dx_ref[:] = jnp.zeros_like(dx_ref)
 
-    dx_ref[:] += jnp.dot(g, w.T, preferred_element_type=jnp.float32)
+    dx_ref[:] += jnp.dot(g_ref[0, :, :], w.T, preferred_element_type=jnp.float32)
 
+
+def _bwd_dparams_kernel(
+    seed_ref, g_ref, x_ref, rho_ref, brho_ref,
+    dloc_ref, drho_ref, dbloc_ref, dbrho_ref,
+):
+    """Parameter cotangents. Grid (o, s): each dloc/drho block is constant
+    across the inner s sweep, so += accumulation over samples is sound."""
+    o = pl.program_id(0)
+    s = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + s * pl.num_programs(0) + o)
+
+    i_dim = rho_ref.shape[0]
+    o_t = rho_ref.shape[1]
+    eps = _normal_from_bits((i_dim + 8, o_t))
+    w_eps = eps[:i_dim]
+    b_eps = eps[i_dim]
+
+    g = g_ref[0, :, :]  # (B, O_t)
     dW = jnp.dot(x_ref[:].T, g, preferred_element_type=jnp.float32)
     db = jnp.sum(g, axis=0)
 
@@ -178,11 +194,10 @@ def _sampled_dense_fwd_impl(x, loc, rho, bloc, brho, n_samples, seed):
             out_specs=pl.BlockSpec((1, b_dim, o_t), lambda o, s, *_: (s, 0, o)),
         ),
         out_shape=jax.ShapeDtypeStruct((n_samples, b_dim, o_dim), jnp.float32),
-        # Forward grid iterations are fully independent (each (o, s) writes its
-        # own output block, seeds its own PRNG) — let Mosaic schedule them.
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
-        ),
+        # NOTE: keep the default ("arbitrary") dimension semantics — marking
+        # the grid "parallel" lets Mosaic reorder iterations, which defeats
+        # the loc/rho VMEM residency across the inner s sweep and re-fetches
+        # the variational parameters per draw (measured: 4.2 ms → 16.1 ms).
         interpret=_interpret(),
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
@@ -208,8 +223,34 @@ def _sampled_dense_bwd(n_samples, residuals, g):
     num_o = o_dim // o_t
     grid = (num_o, n_samples)
 
-    dx, dloc, drho, dbloc, dbrho = pl.pallas_call(
-        _bwd_kernel_full,
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    # Two pallas_calls (not one fused kernel): each is pure, so when the
+    # caller only consumes dx — every attack gradient — XLA dead-code
+    # eliminates the parameter pass, and vice versa for the ELBO's dloc/drho.
+    dx = pl.pallas_call(
+        _bwd_dx_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, b_dim, o_t), lambda o, s, *_: (s, 0, o)),
+                pl.BlockSpec((i_dim, o_t), lambda o, s, *_: (0, o)),
+                pl.BlockSpec((i_dim, o_t), lambda o, s, *_: (0, o)),
+            ],
+            out_specs=pl.BlockSpec((b_dim, i_dim), lambda o, s, *_: (0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_dim, i_dim), jnp.float32),
+        interpret=_interpret(),
+    )(
+        seed_arr,
+        g.astype(jnp.float32),
+        loc.astype(jnp.float32),
+        rho.astype(jnp.float32),
+    )
+
+    dloc, drho, dbloc, dbrho = pl.pallas_call(
+        _bwd_dparams_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -217,11 +258,9 @@ def _sampled_dense_bwd(n_samples, residuals, g):
                 pl.BlockSpec((1, b_dim, o_t), lambda o, s, *_: (s, 0, o)),
                 pl.BlockSpec((b_dim, i_dim), lambda o, s, *_: (0, 0)),
                 pl.BlockSpec((i_dim, o_t), lambda o, s, *_: (0, o)),
-                pl.BlockSpec((i_dim, o_t), lambda o, s, *_: (0, o)),
                 pl.BlockSpec((1, o_t), lambda o, s, *_: (0, o)),
             ],
             out_specs=[
-                pl.BlockSpec((b_dim, i_dim), lambda o, s, *_: (0, 0)),
                 pl.BlockSpec((i_dim, o_t), lambda o, s, *_: (0, o)),
                 pl.BlockSpec((i_dim, o_t), lambda o, s, *_: (0, o)),
                 pl.BlockSpec((1, o_t), lambda o, s, *_: (0, o)),
@@ -229,7 +268,6 @@ def _sampled_dense_bwd(n_samples, residuals, g):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b_dim, i_dim), jnp.float32),
             jax.ShapeDtypeStruct((i_dim, o_dim), jnp.float32),
             jax.ShapeDtypeStruct((i_dim, o_dim), jnp.float32),
             jax.ShapeDtypeStruct((1, o_dim), jnp.float32),
@@ -237,10 +275,9 @@ def _sampled_dense_bwd(n_samples, residuals, g):
         ],
         interpret=_interpret(),
     )(
-        jnp.asarray(seed, jnp.int32).reshape(1),
+        seed_arr,
         g.astype(jnp.float32),
         x.astype(jnp.float32),
-        loc.astype(jnp.float32),
         rho.astype(jnp.float32),
         brho.reshape(1, -1).astype(jnp.float32),
     )
@@ -384,9 +421,6 @@ def _sampled_dense_xs_fwd_impl(xs, loc, rho, bloc, brho, n_samples, seed):
             out_specs=pl.BlockSpec((1, b_dim, o_t), lambda o, s, *_: (s, 0, o)),
         ),
         out_shape=jax.ShapeDtypeStruct((n_samples, b_dim, o_dim), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
-        ),
         interpret=_interpret(),
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
