@@ -58,7 +58,7 @@ def _build_nn(cfg, inp_shape, out_size, rel_path, args, x_train, y_train,
 
 
 def main(args):
-    if args.bf16:
+    if getattr(args, "bf16", False):
         # Opt-in bf16 MXU matmuls for the attack/eval forwards — the measured
         # win on large-contraction paths (PERFORMANCE.md "Scope of the bf16
         # knob"). Read per-call by the dense layers, so setting it here covers
@@ -114,7 +114,7 @@ def main(args):
         for attack_samples in bayesian_attack_samples:
             x_attack = attack(
                 bnn, x_test, y_test, method=args.attack_method, epsilon=EPSILON,
-                n_samples=attack_samples, fused=args.fused,
+                n_samples=attack_samples, fused=getattr(args, "fused", False),
                 filename=bnn.name, rel_path=rel_path,
             )
             for defence_samples in bayesian_defence_samples:

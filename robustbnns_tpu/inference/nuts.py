@@ -254,39 +254,37 @@ def _nuts_transition(potential_fn, max_depth):
     return transition
 
 
+# --------------------------------------------------------------------------- #
+# Chunked chain driver.
+#
+# A NUTS chain over a large model can spend up to 2^max_depth gradient evals
+# PER DRAW; warmup+sampling as one jitted dispatch then runs for many minutes,
+# which the remote-TPU worker kills ("TPU worker crashed" — observed on the
+# 50-draw/100-warmup multimodal config). The chain is therefore driven in
+# bounded chunks: each chunk is one jitted scan over at most ``chunk_size``
+# iterations and the carried state (position, PRNG key, dual-averaging and
+# Welford accumulators) crosses the host between chunks. The key-split
+# structure is identical to a single monolithic scan, so results are
+# bit-identical for any chunk size (tested).
+# --------------------------------------------------------------------------- #
+
+
 @partial(
     jax.jit,
-    static_argnames=(
-        "raw_potential_fn",
-        "num_samples",
-        "warmup",
-        "max_depth",
-        "adapt_step_size",
-        "adapt_mass_matrix",
-    ),
+    static_argnames=("raw_potential_fn", "adapt_step_size"),
 )
-def _nuts_single_chain(
-    raw_potential_fn,
-    data,
-    init_q,
-    key,
-    num_samples,
-    warmup,
-    step_size,
-    max_depth,
-    adapt_step_size,
-    adapt_mass_matrix,
-    target_accept,
-):
-    # ``data`` is traced (see hmc._hmc_single_chain) — same-shape sweeps share
-    # one compiled chain.
+def _nuts_init(raw_potential_fn, data, init_q, key, step_size, adapt_step_size):
+    """Initial step size (find-reasonable guard) + fresh adaptation state.
+
+    Returns ``(warmup_carry, sample_key)``; the key splits reproduce the
+    original monolithic driver exactly.
+    """
     potential_fn = lambda q: raw_potential_fn(q, *data)
     d = init_q.shape[0]
-    transition = _nuts_transition(potential_fn, max_depth)
     inv_mass0 = jnp.ones((d,), init_q.dtype)
 
     key, k_find = jax.random.split(key)
-    if adapt_step_size and warmup > 0:
+    if adapt_step_size:
         eps_found = _find_reasonable_step_size(
             potential_fn, init_q, k_find, step_size, inv_mass0
         )
@@ -296,6 +294,23 @@ def _nuts_single_chain(
     mu = jnp.log(10.0 * eps_init)
     da0 = (jnp.log(eps_init), jnp.log(eps_init), jnp.zeros(()), mu)
     welford0 = (jnp.zeros((d,), init_q.dtype), jnp.zeros((d,), init_q.dtype), 0.0)
+    key, k_warm = jax.random.split(key)
+    return (init_q, k_warm, da0, welford0, inv_mass0), key
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "raw_potential_fn", "chunk_len", "warmup", "max_depth",
+        "adapt_step_size", "adapt_mass_matrix",
+    ),
+)
+def _nuts_warmup_chunk(
+    raw_potential_fn, data, carry, it0, chunk_len, warmup, step_size,
+    max_depth, adapt_step_size, adapt_mass_matrix, target_accept,
+):
+    potential_fn = lambda q: raw_potential_fn(q, *data)
+    transition = _nuts_transition(potential_fn, max_depth)
 
     def warmup_step(carry, it):
         q, k, da, wf, inv_mass = carry
@@ -318,28 +333,21 @@ def _nuts_single_chain(
             )
         return (q, k, da, wf, inv_mass), accept_stat
 
-    key, k_warm = jax.random.split(key)
-    if warmup > 0:
-        (q, _, da, wf, _), _ = jax.lax.scan(
-            warmup_step,
-            (init_q, k_warm, da0, welford0, inv_mass0),
-            jnp.arange(warmup),
-        )
-    else:
-        q, da, wf = init_q, da0, welford0
-
-    if adapt_mass_matrix and warmup > 0:
-        mean, m2, count = wf
-        var = m2 / jnp.maximum(count - 1.0, 1.0)
-        n = jnp.maximum(count, 1.0)
-        var = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * 1e-3
-        inv_mass = jnp.where(count > 1.0, var, jnp.ones_like(var))
-    else:
-        inv_mass = inv_mass0
-
-    final_eps = (
-        jnp.exp(da[1]) if (adapt_step_size and warmup > 0) else jnp.asarray(step_size)
+    carry, _ = jax.lax.scan(
+        warmup_step, carry, it0 + jnp.arange(chunk_len)
     )
+    return carry
+
+
+@partial(
+    jax.jit,
+    static_argnames=("raw_potential_fn", "chunk_len", "max_depth"),
+)
+def _nuts_sample_chunk(
+    raw_potential_fn, data, q, key, final_eps, inv_mass, chunk_len, max_depth
+):
+    potential_fn = lambda q: raw_potential_fn(q, *data)
+    transition = _nuts_transition(potential_fn, max_depth)
 
     def sample_step(carry, _):
         q, k = carry
@@ -347,8 +355,70 @@ def _nuts_single_chain(
         q, accept_stat, n_lf, div = transition(q, k_t, final_eps, inv_mass)
         return (q, k), (q, accept_stat, n_lf, div)
 
-    (_, _), (samples, accept_stats, n_lfs, divs) = jax.lax.scan(
-        sample_step, (q, key), None, length=num_samples
+    (q, key), outs = jax.lax.scan(
+        sample_step, (q, key), None, length=chunk_len
+    )
+    return (q, key), outs
+
+
+@partial(jax.jit, static_argnames=("adapt_step_size", "adapt_mass_matrix"))
+def _nuts_finalize_warmup(da, wf, inv_mass0, step_size, adapt_step_size,
+                          adapt_mass_matrix):
+    if adapt_mass_matrix:
+        mean, m2, count = wf
+        var = m2 / jnp.maximum(count - 1.0, 1.0)
+        n = jnp.maximum(count, 1.0)
+        var = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * 1e-3
+        inv_mass = jnp.where(count > 1.0, var, jnp.ones_like(var))
+    else:
+        inv_mass = inv_mass0
+    final_eps = jnp.exp(da[1]) if adapt_step_size else jnp.asarray(step_size)
+    return final_eps, inv_mass
+
+
+def _run_chain_chunked(raw_fn, data, init_q, key, config, chunk_size):
+    num_samples, warmup = config.num_samples, config.warmup
+    adapt_eps = config.adapt_step_size and warmup > 0
+    C = chunk_size or max(warmup, num_samples, 1)
+
+    warm_carry, sample_key = _nuts_init(
+        raw_fn, data, init_q, key, config.step_size, adapt_eps
+    )
+
+    it = 0
+    while it < warmup:
+        n = min(C, warmup - it)
+        warm_carry = _nuts_warmup_chunk(
+            raw_fn, data, warm_carry, jnp.asarray(it, jnp.int32), n, warmup,
+            config.step_size, config.max_depth, config.adapt_step_size,
+            config.adapt_mass_matrix, config.target_accept,
+        )
+        it += n
+
+    q, _, da, wf, inv_mass0 = warm_carry
+    if warmup > 0:
+        final_eps, inv_mass = _nuts_finalize_warmup(
+            da, wf, inv_mass0, config.step_size,
+            config.adapt_step_size, config.adapt_mass_matrix,
+        )
+    else:
+        final_eps = jnp.asarray(config.step_size, init_q.dtype)
+        inv_mass = inv_mass0
+
+    carry = (q, sample_key)
+    chunks = []
+    done = 0
+    while done < num_samples:
+        n = min(C, num_samples - done)
+        carry, outs = _nuts_sample_chunk(
+            raw_fn, data, carry[0], carry[1], final_eps, inv_mass, n,
+            config.max_depth,
+        )
+        chunks.append(outs)
+        done += n
+
+    samples, accept_stats, n_lfs, divs = (
+        jnp.concatenate([c[i] for c in chunks]) for i in range(4)
     )
     return samples, NUTSInfo(accept_stats, n_lfs, divs, final_eps, inv_mass)
 
@@ -359,10 +429,22 @@ def nuts_sample(
     key: jax.Array,
     config: NUTSConfig,
     data: tuple = None,
+    chunk_size: int = None,
 ):
     """Run NUTS on a flat position vector — the drop-in upgrade of
     :func:`robustbnns_tpu.inference.hmc.hmc_sample` (same calling convention,
-    same traced-``data`` compile-cache behavior, chains vmapped)."""
+    same traced-``data`` compile-cache behavior, chains vmapped).
+
+    ``chunk_size`` bounds how many warmup iterations / draws run per device
+    dispatch (default: everything in one warmup + one sampling dispatch).
+    Results are bit-identical for any chunk size; chunking exists so chains
+    over big models never exceed the remote backend's per-dispatch tolerance
+    (``ROBUSTBNNS_NUTS_CHUNK`` sets a process-wide default).
+    """
+    import os
+
+    if chunk_size is None and os.environ.get("ROBUSTBNNS_NUTS_CHUNK"):
+        chunk_size = int(os.environ["ROBUSTBNNS_NUTS_CHUNK"])
     if data is None:
         if not hasattr(potential_fn, "_rbnn_nullary"):
             fn = potential_fn
@@ -370,18 +452,8 @@ def nuts_sample(
             fn._rbnn_nullary = shim
         potential_fn = potential_fn._rbnn_nullary
         data = ()
-    run = lambda q0, k: _nuts_single_chain(
-        potential_fn,
-        tuple(data),
-        q0,
-        k,
-        config.num_samples,
-        config.warmup,
-        config.step_size,
-        config.max_depth,
-        config.adapt_step_size,
-        config.adapt_mass_matrix,
-        config.target_accept,
+    run = lambda q0, k: _run_chain_chunked(
+        potential_fn, tuple(data), q0, k, config, chunk_size
     )
     if config.num_chains == 1:
         return run(init_position, key)

@@ -160,3 +160,28 @@ def test_bnn_trains_with_nuts_from_random_init():
     )
     acc = bnn.evaluate(x_test, y_test, n_samples=30, verbose=False)
     assert acc > 85.0
+
+
+def test_nuts_chunked_dispatch_bit_identical():
+    """chunk_size bounds per-dispatch work for the remote-TPU backend; the
+    carried state and key-split structure make any chunking bit-identical to
+    the monolithic scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from robustbnns_tpu.inference.nuts import NUTSConfig, nuts_sample
+
+    def potential(q):
+        return 0.5 * jnp.sum(q * q) + 0.1 * jnp.sum(q**4)
+
+    cfg = NUTSConfig(num_samples=12, warmup=14, max_depth=5)
+    q0 = jnp.full((4,), 1.5)
+    s_mono, i_mono = nuts_sample(potential, q0, jax.random.key(3), cfg)
+    for chunk in (1, 5):
+        s_chunk, i_chunk = nuts_sample(
+            potential, q0, jax.random.key(3), cfg, chunk_size=chunk
+        )
+        assert bool(jnp.all(s_mono == s_chunk))
+        assert bool(jnp.all(i_mono.step_size == i_chunk.step_size))
+        assert bool(jnp.all(i_mono.inv_mass == i_chunk.inv_mass))
+        assert bool(jnp.all(i_mono.num_leapfrog == i_chunk.num_leapfrog))
