@@ -147,7 +147,13 @@ def _synthetic_image_dataset(name, rows, cols, chans, n_train, n_test):
     so every downstream stage behaves identically. Not the real data — flagged
     by loaders for honest reporting.
     """
-    rng = np.random.default_rng(abs(hash(name)) % (2**32))
+    # Stable digest, NOT hash(): str hashes are salted per process, which
+    # silently desynchronized the surrogate between a training process and a
+    # later evaluation process (loaded checkpoints scored ~chance on "the
+    # same" dataset). zlib.crc32 is deterministic everywhere.
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(name.encode("utf-8")))
     n_classes = 10
     yy, xx = np.mgrid[0:rows, 0:cols].astype(np.float32)
     protos = []

@@ -101,3 +101,28 @@ def test_classwise_arrays():
     for xc, yc in per_class:
         assert len(xc) == 5
         assert np.all(yc.argmax(-1) == yc[0].argmax(-1))
+
+
+def test_synthetic_dataset_identical_across_processes(tmp_path):
+    """The synthetic surrogate must be byte-identical in every process —
+    Python's salted str hash() once desynchronized it, making checkpoints
+    trained in one process score ~chance when evaluated in another."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from robustbnns_tpu.data.datasets import _synthetic_image_dataset
+
+    (x_train, y_train), _ = _synthetic_image_dataset("mnist", 28, 28, 1, 64, 16)
+    out = tmp_path / "sub.npz"
+    code = (
+        "from robustbnns_tpu.data.datasets import _synthetic_image_dataset\n"
+        "import numpy as np\n"
+        "(x, y), _ = _synthetic_image_dataset('mnist', 28, 28, 1, 64, 16)\n"
+        f"np.savez('{out}', x=x, y=y)\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, cwd="/root/repo")
+    with np.load(out) as f:
+        np.testing.assert_array_equal(f["x"], x_train)
+        np.testing.assert_array_equal(f["y"], y_train)
