@@ -53,7 +53,9 @@ t2 = time.time()
 print(f"{ENSEMBLE_SIZE}-member ensemble train "
       f"(chunks of {MEMBER_CHUNK}): {t2 - t1:.1f}s", flush=True)
 
-bcfg = BNNConfig("cifar", 128, "leaky", "conv2", "svi", epochs=3, lr=0.001)
+# 12 epochs: the unscaled-KL SVI objective underfits the harder shared-blob
+# surrogate at 3 epochs (14% clean acc); the NN/ensemble are unaffected.
+bcfg = BNNConfig("cifar", 128, "leaky", "conv2", "svi", epochs=12, lr=0.001)
 cbnn = BNN.from_config(bcfg, inp_shape, out_size).train(
     x_train, y_train, batch_size=128, train_acc_samples=0, verbose=False
 )
