@@ -21,12 +21,18 @@ def layer():
 
 
 def test_zero_scale_limit_is_exact(layer):
-    """With rho → -inf (scale → 0) the op is a plain dense layer."""
+    """With rho → -inf (scale → 0) the op is a plain dense layer.
+
+    References here (and in the VJP tests below) are computed in host numpy —
+    exact f32, matching the kernel's HIGHEST-precision MXU contractions. On
+    TPU an XLA-default reference (`x @ loc`) is the *less* precise side (bf16
+    passes) and would fail the tolerance against the exact kernel.
+    """
     x, loc, _, bloc, _ = layer
     neg = jnp.full_like(loc, -30.0)
     negb = jnp.full((loc.shape[1],), -30.0)
     out = sampled_dense(x, loc, neg, bloc, negb, 4, 0)
-    expected = x @ loc + bloc
+    expected = np.asarray(x) @ np.asarray(loc) + np.asarray(bloc)
     assert out.shape == (4, 16, 128)
     for s in range(4):
         np.testing.assert_allclose(
@@ -86,7 +92,8 @@ def test_custom_vjp_grad_x_matches_regenerated_weights(layer):
         return jnp.sum(sampled_dense(x, loc, neg, bloc, negb, 3, 0) ** 2)
 
     def f_ref(x):
-        y = x @ loc + bloc
+        # precision='highest': match the kernel's exact-f32 contractions
+        y = jnp.dot(x, loc, precision="highest") + bloc
         return 3 * jnp.sum(y**2)
 
     gx = jax.grad(f)(x)
@@ -142,9 +149,8 @@ def test_xs_variant_zero_scale_exact(layer):
     xs = jnp.stack([x, x * 2.0, x * 3.0])
     out = sampled_dense_xs(xs, loc, neg, bloc, negb, 3, 0)
     for s, scale in enumerate([1.0, 2.0, 3.0]):
-        np.testing.assert_allclose(
-            np.asarray(out[s]), np.asarray(scale * x @ loc + bloc), atol=1e-3
-        )
+        expected = scale * (np.asarray(x) @ np.asarray(loc)) + np.asarray(bloc)
+        np.testing.assert_allclose(np.asarray(out[s]), expected, atol=1e-3)
 
 
 def test_xs_variant_vjp_zero_scale(layer):
@@ -159,7 +165,10 @@ def test_xs_variant_vjp_zero_scale(layer):
         return jnp.sum(sampled_dense_xs(xs, loc, neg, bloc, negb, 2, 0) ** 2)
 
     def f_ref(xs):
-        return jnp.sum((jnp.einsum("sbi,io->sbo", xs, loc) + bloc) ** 2)
+        return jnp.sum(
+            (jnp.einsum("sbi,io->sbo", xs, loc, precision="highest") + bloc)
+            ** 2
+        )
 
     g = jax.grad(f)(xs)
     g_ref = jax.grad(f_ref)(xs)
