@@ -311,12 +311,163 @@ def _hmc_single_chain(
     return samples, HMCInfo(accept_probs, final_eps, inv_mass)
 
 
+# --------------------------------------------------------------------------- #
+# Chunked chain driver — mirrors inference.nuts: bound each device dispatch
+# (the remote-TPU worker kills multi-minute dispatches; a full-batch 60k-input
+# chain is ~1500 full-batch gradients ≈ minutes as one program). The key-split
+# structure matches the monolithic scan exactly; values can differ in the
+# last float bits (XLA fuses/reassociates differently across the chunk
+# boundary), which leapfrog dynamics amplify over long chains — the chunked
+# chain is the same algorithm on the same random stream, realized with
+# different rounding, not a different sampler.
+# --------------------------------------------------------------------------- #
+
+
+@partial(jax.jit, static_argnames=("raw_potential_fn", "adapt_step_size"))
+def _hmc_init(raw_potential_fn, data, init_q, key, step_size, adapt_step_size):
+    potential_fn = lambda q: raw_potential_fn(q, *data)
+    d = init_q.shape[0]
+    inv_mass0 = jnp.ones((d,), init_q.dtype)
+    key, k_find = jax.random.split(key)
+    if adapt_step_size:
+        eps_found = _find_reasonable_step_size(
+            potential_fn, init_q, k_find, step_size, inv_mass0
+        )
+        eps_init = jnp.minimum(eps_found, jnp.asarray(step_size, init_q.dtype))
+    else:
+        eps_init = jnp.asarray(step_size, init_q.dtype)
+    mu = jnp.log(10.0 * eps_init)
+    da0 = (jnp.log(eps_init), jnp.log(eps_init), jnp.zeros(()), mu)
+    welford0 = (jnp.zeros((d,), init_q.dtype), jnp.zeros((d,), init_q.dtype), 0.0)
+    key, k_warm = jax.random.split(key)
+    return (init_q, k_warm, da0, welford0, inv_mass0), key
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "raw_potential_fn", "chunk_len", "warmup", "num_steps",
+        "adapt_step_size", "adapt_mass_matrix",
+    ),
+)
+def _hmc_warmup_chunk(
+    raw_potential_fn, data, carry, it0, chunk_len, warmup, step_size,
+    num_steps, adapt_step_size, adapt_mass_matrix, target_accept,
+):
+    potential_fn = lambda q: raw_potential_fn(q, *data)
+    transition = _hmc_transition(potential_fn, num_steps)
+
+    def warmup_step(carry, it):
+        q, k, da, wf, inv_mass = carry
+        k, k_t = jax.random.split(k)
+        eps = jnp.exp(da[0]) if adapt_step_size else jnp.asarray(step_size)
+        q, accept_prob = transition(q, k_t, eps, inv_mass)
+        if adapt_step_size:
+            da = _dual_averaging_update(da, accept_prob, target_accept, it)
+        if adapt_mass_matrix:
+            in_window = it >= (warmup // 2)
+            mean, m2, count = wf
+            new_count = count + 1.0
+            delta = q - mean
+            new_mean = mean + delta / new_count
+            new_m2 = m2 + delta * (q - new_mean)
+            wf = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(in_window, new, old),
+                (new_mean, new_m2, new_count),
+                wf,
+            )
+        return (q, k, da, wf, inv_mass), accept_prob
+
+    carry, _ = jax.lax.scan(warmup_step, carry, it0 + jnp.arange(chunk_len))
+    return carry
+
+
+@partial(jax.jit, static_argnames=("raw_potential_fn", "chunk_len", "num_steps"))
+def _hmc_sample_chunk(
+    raw_potential_fn, data, q, key, final_eps, inv_mass, chunk_len, num_steps
+):
+    potential_fn = lambda q: raw_potential_fn(q, *data)
+    transition = _hmc_transition(potential_fn, num_steps)
+
+    def sample_step(carry, _):
+        q, k = carry
+        k, k_t = jax.random.split(k)
+        q, accept_prob = transition(q, k_t, final_eps, inv_mass)
+        return (q, k), (q, accept_prob)
+
+    (q, key), outs = jax.lax.scan(sample_step, (q, key), None, length=chunk_len)
+    return (q, key), outs
+
+
+@partial(jax.jit, static_argnames=("adapt_step_size", "adapt_mass_matrix"))
+def _finalize_warmup(da, wf, inv_mass0, step_size, adapt_step_size,
+                     adapt_mass_matrix):
+    if adapt_mass_matrix:
+        mean, m2, count = wf
+        var = m2 / jnp.maximum(count - 1.0, 1.0)
+        n = jnp.maximum(count, 1.0)
+        var = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * 1e-3
+        inv_mass = jnp.where(count > 1.0, var, jnp.ones_like(var))
+    else:
+        inv_mass = inv_mass0
+    final_eps = jnp.exp(da[1]) if adapt_step_size else jnp.asarray(step_size)
+    return final_eps, inv_mass
+
+
+def _run_hmc_chain_chunked(raw_fn, data, init_q, key, config, chunk_size):
+    num_samples, warmup = config.num_samples, config.warmup
+    adapt_eps = config.adapt_step_size and warmup > 0
+    C = chunk_size
+
+    warm_carry, sample_key = _hmc_init(
+        raw_fn, data, init_q, key, config.step_size, adapt_eps
+    )
+
+    it = 0
+    while it < warmup:
+        n = min(C, warmup - it)
+        warm_carry = _hmc_warmup_chunk(
+            raw_fn, data, warm_carry, jnp.asarray(it, jnp.int32), n, warmup,
+            config.step_size, config.num_steps, config.adapt_step_size,
+            config.adapt_mass_matrix, config.target_accept,
+        )
+        it += n
+
+    q, _, da, wf, inv_mass0 = warm_carry
+    if warmup > 0:
+        final_eps, inv_mass = _finalize_warmup(
+            da, wf, inv_mass0, config.step_size,
+            config.adapt_step_size, config.adapt_mass_matrix,
+        )
+    else:
+        final_eps = jnp.asarray(config.step_size, init_q.dtype)
+        inv_mass = inv_mass0
+
+    carry = (q, sample_key)
+    chunks = []
+    done = 0
+    while done < num_samples:
+        n = min(C, num_samples - done)
+        carry, outs = _hmc_sample_chunk(
+            raw_fn, data, carry[0], carry[1], final_eps, inv_mass, n,
+            config.num_steps,
+        )
+        chunks.append(outs)
+        done += n
+
+    samples, accept_probs = (
+        jnp.concatenate([c[i] for c in chunks]) for i in range(2)
+    )
+    return samples, HMCInfo(accept_probs, final_eps, inv_mass)
+
+
 def hmc_sample(
     potential_fn: Callable,
     init_position: jax.Array,
     key: jax.Array,
     config: HMCConfig,
     data: tuple = None,
+    chunk_size: int = None,
 ):
     """Run HMC on a flat position vector.
 
@@ -327,7 +478,17 @@ def hmc_sample(
     Returns ``(samples, info)`` — ``samples`` has shape ``(num_samples, D)``
     for one chain or ``(num_chains, num_samples, D)`` for several; chains run
     as a single vmapped (batched) program.
+
+    ``chunk_size`` (env default ``ROBUSTBNNS_HMC_CHUNK``) bounds warmup
+    iterations / draws per device dispatch for big full-batch chains on the
+    remote backend (see :mod:`robustbnns_tpu.inference.nuts` for the
+    motivating failure). Same key stream and algorithm as the monolithic
+    scan; values may drift in the last float bits across chunk boundaries.
     """
+    import os
+
+    if chunk_size is None and os.environ.get("ROBUSTBNNS_HMC_CHUNK"):
+        chunk_size = int(os.environ["ROBUSTBNNS_HMC_CHUNK"])
     if data is None:
         # Cache the nullary shim ON the function so the jit cache still hits
         # across calls with the same potential.
@@ -337,19 +498,24 @@ def hmc_sample(
             fn._rbnn_nullary = shim
         potential_fn = potential_fn._rbnn_nullary
         data = ()
-    run = lambda q0, k: _hmc_single_chain(
-        potential_fn,
-        tuple(data),
-        q0,
-        k,
-        config.num_samples,
-        config.warmup,
-        config.step_size,
-        config.num_steps,
-        config.adapt_step_size,
-        config.adapt_mass_matrix,
-        config.target_accept,
-    )
+    if chunk_size is not None:
+        run = lambda q0, k: _run_hmc_chain_chunked(
+            potential_fn, tuple(data), q0, k, config, chunk_size
+        )
+    else:
+        run = lambda q0, k: _hmc_single_chain(
+            potential_fn,
+            tuple(data),
+            q0,
+            k,
+            config.num_samples,
+            config.warmup,
+            config.step_size,
+            config.num_steps,
+            config.adapt_step_size,
+            config.adapt_mass_matrix,
+            config.target_accept,
+        )
     if config.num_chains == 1:
         return run(init_position, key)
     keys = jax.random.split(key, config.num_chains)

@@ -202,3 +202,33 @@ def test_bnn_hmc_map_init_improves_sharp_posterior():
     )
     acc = bnn.evaluate(x_test, y_test, n_samples=20, verbose=False)
     assert acc > 90.0
+
+
+def test_hmc_chunked_dispatch_equivalent():
+    """chunk_size bounds per-dispatch work (remote-backend robustness). The
+    chunked driver follows the exact key stream of the monolithic scan;
+    values may differ in the last float bits (XLA reassociation across the
+    chunk boundary), so equality is asserted numerically over a short chain
+    before chaotic amplification matters."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from robustbnns_tpu.inference.hmc import HMCConfig, hmc_sample
+
+    def potential(q):
+        return 0.5 * jnp.sum(q * q)
+
+    cfg = HMCConfig(num_samples=4, warmup=5, step_size=0.3)
+    q0 = jnp.full((4,), 1.0)
+    s_mono, i_mono = hmc_sample(potential, q0, jax.random.key(7), cfg)
+    for chunk in (1, 3):
+        s_chunk, i_chunk = hmc_sample(
+            potential, q0, jax.random.key(7), cfg, chunk_size=chunk
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_mono), np.asarray(s_chunk), rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            float(i_mono.step_size), float(i_chunk.step_size), rtol=1e-3
+        )
