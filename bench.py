@@ -330,7 +330,7 @@ def main():
         jax_pgd = bench_jax_pgd()
         print(f"jax bayesian pgd (S=10): {jax_pgd:.1f} imgs/s", file=sys.stderr)
         jax_pgd_100 = bench_jax_pgd(
-            n_images=1024, batch_size=512, n_attack_samples=100
+            n_images=4096, batch_size=2048, n_attack_samples=100
         )
         print(f"jax bayesian pgd (S=100): {jax_pgd_100:.1f} imgs/s", file=sys.stderr)
         os.environ["ROBUSTBNNS_BF16"] = "1"  # perf mode: bf16 MXU matmuls
