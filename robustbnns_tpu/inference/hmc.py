@@ -612,7 +612,7 @@ def hmc_train_batched(
             print(
                 f"[{sampler.upper()} batch {i + 1}/{num_batches}] "
                 f"{batch_samples} draws, mean accept {acc:.2f}, "
-                f"step {float(info.step_size):.2e}"
+                f"step {float(jnp.mean(info.step_size)):.2e}"  # (C,) when chains>1
             )
 
     # get_samples(n_samples) with fewer stored draws resamples with replacement.

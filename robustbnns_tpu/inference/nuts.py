@@ -15,12 +15,12 @@ TPU-first design — recursion-free NUTS:
   the ``2^depth`` leapfrog leaves of each subtree;
 * sub-U-turn checks (the part naive iterative ports drop) use the
   checkpoint-stack scheme: a leaf ``i`` opens the binary-tree nodes for which
-  it is the first leaf (``i`` even → push position/momentum/momentum-prefix
-  onto a ``(max_depth+1, D)`` stack) and closes the nodes for which it is the
-  last leaf (one per trailing one-bit of ``i`` → pop and test the generalized
-  U-turn condition ``rho·(M⁻¹ p_first) < 0 or rho·(M⁻¹ p_last) < 0``). This
-  checks exactly the node set the recursive algorithm checks, in O(max_depth)
-  memory;
+  it is the first leaf (one push of position/momentum/momentum-prefix per
+  trailing zero-bit of ``i`` onto a ``(max_depth+1, D)`` stack) and closes
+  the nodes for which it is the last leaf (one per trailing one-bit of ``i``
+  → pop and test the generalized U-turn condition
+  ``rho·(M⁻¹ p_first) < 0 or rho·(M⁻¹ p_last) < 0``). This checks exactly
+  the node set the recursive algorithm checks, in O(max_depth) memory;
 * proposals are **multinomial** with biased progressive sampling (Stan's
   scheme): within a subtree each leaf replaces the running proposal with
   probability ``exp(logw_leaf − logsumexp_so_far)``; across subtrees the new
@@ -46,6 +46,7 @@ import jax.numpy as jnp
 
 from robustbnns_tpu.inference.hmc import (
     _dual_averaging_update,
+    _finalize_warmup,
     _find_reasonable_step_size,
     _kinetic,
 )
@@ -78,6 +79,12 @@ def _trailing_ones(i: jax.Array, nbits: int = 32) -> jax.Array:
     return jnp.sum(jnp.cumprod(bits)).astype(jnp.int32)
 
 
+def _trailing_zeros(i: jax.Array, nbits: int = 32) -> jax.Array:
+    """Number of trailing 0-bits of ``i`` (32 for i == 0)."""
+    bits = 1 - ((i >> jnp.arange(nbits, dtype=i.dtype)) & 1)
+    return jnp.sum(jnp.cumprod(bits)).astype(jnp.int32)
+
+
 def _one_leapfrog(grad_u, q, p, eps, inv_mass):
     """A single velocity-Verlet step (one NUTS tree leaf)."""
     p = p - 0.5 * eps * grad_u(q)
@@ -90,18 +97,31 @@ _MAX_DELTA_ENERGY = 1000.0  # Stan's divergence cutoff
 
 
 def _build_subtree(
-    potential_fn, grad_u, h0, q0, p0, direction, n_leaves, eps, inv_mass,
+    potential_fn, grad_u, h0, q0, p0, direction, depth, eps, inv_mass,
     max_depth, key,
 ):
-    """Integrate ``n_leaves`` leaves from (q0, p0) in ``direction``.
+    """Integrate the ``2**depth`` leaves of one subtree from (q0, p0).
 
     Returns (q_end, p_end, psum, q_prop, logw, sum_accept, n_done, turning,
-    diverging). ``psum`` is the sum of the *new* leaves' momenta (true
+    diverging, sp_end). ``psum`` is the sum of the *new* leaves' momenta (true
     trajectory momenta — backward builds use a negative step, so collected
-    momenta are the real ones at those points).
+    momenta are the real ones at those points). ``sp_end`` is the checkpoint
+    stack pointer after the build — 0 for a complete, non-terminated build
+    (every opened node was closed; asserted by tests).
+
+    Checkpoint bookkeeping: a dyadic node ``[i, i + 2^j - 1]`` OPENS at its
+    first leaf ``i`` — for each ``j ∈ [1, trailing_zeros(i)]`` (``depth``
+    nodes at leaf 0) — and CLOSES at its last leaf, one per trailing 1-bit.
+    Leaf ``i`` therefore pushes ``trailing_zeros(i)`` identical checkpoints
+    (same position/momentum/momentum-prefix: all those nodes start at this
+    leaf), keeping pushes and pops balanced at ``2^depth - 1`` each. (The
+    original one-push-per-even-leaf scheme underflowed the stack for any
+    subtree of ≥4 leaves, so U-turn checks for size-≥4 nodes read stale or
+    zeroed slots — caught in round-2 review.)
     """
     d = q0.shape[0]
     signed_eps = direction * eps
+    n_leaves = jnp.asarray(2, jnp.int32) ** depth
     n_ckpt = max_depth + 1
 
     def cond(state):
@@ -128,12 +148,23 @@ def _build_subtree(
         q_prop = jnp.where(take, q, q_prop)
         logw = logw_new
 
-        # Open nodes: leaf i begins every node whose first leaf it is (i even).
-        is_first = (i % 2) == 0
-        ckpt_q = jnp.where(is_first, ckpt_q.at[sp].set(q), ckpt_q)
-        ckpt_p = jnp.where(is_first, ckpt_p.at[sp].set(p), ckpt_p)
-        ckpt_psum = jnp.where(is_first, ckpt_psum.at[sp].set(psum), ckpt_psum)
-        sp = sp + jnp.where(is_first, 1, 0)
+        # Open nodes: one push per node whose FIRST leaf is i — that is
+        # trailing_zeros(i) nodes (depth of them at i == 0), all sharing this
+        # leaf's state.
+        n_opens = jnp.where(i == 0, depth, _trailing_zeros(i))
+
+        def push(j, carry):
+            cq, cp, cps = carry
+            do = j < n_opens
+            cq = jnp.where(do, cq.at[sp + j].set(q), cq)
+            cp = jnp.where(do, cp.at[sp + j].set(p), cp)
+            cps = jnp.where(do, cps.at[sp + j].set(psum), cps)
+            return cq, cp, cps
+
+        ckpt_q, ckpt_p, ckpt_psum = jax.lax.fori_loop(
+            0, max_depth + 1, push, (ckpt_q, ckpt_p, ckpt_psum)
+        )
+        sp = sp + n_opens
 
         psum = psum + p
 
@@ -174,8 +205,8 @@ def _build_subtree(
         jnp.zeros((), jnp.int32),
     )
     (_, i, q, p, psum, q_prop, logw, sum_acc,
-     _, _, turning, diverging, _, _) = jax.lax.while_loop(cond, body, init)
-    return q, p, psum, q_prop, logw, sum_acc, i, turning, diverging
+     _, _, turning, diverging, _, sp) = jax.lax.while_loop(cond, body, init)
+    return q, p, psum, q_prop, logw, sum_acc, i, turning, diverging, sp
 
 
 def _nuts_transition(potential_fn, max_depth):
@@ -202,9 +233,9 @@ def _nuts_transition(potential_fn, max_depth):
             p0 = jnp.where(go_right, p_r, p_l)
 
             (q_end, p_end, psum_sub, q_prop_sub, logw_sub, acc_sub, n_done,
-             turn_sub, div_sub) = _build_subtree(
+             turn_sub, div_sub, _) = _build_subtree(
                 potential_fn, grad_u, h0, q0, p0, direction,
-                jnp.asarray(2, jnp.int32) ** depth, eps, inv_mass,
+                depth, eps, inv_mass,
                 max_depth, k_sub,
             )
             sum_acc = sum_acc + acc_sub
@@ -361,21 +392,6 @@ def _nuts_sample_chunk(
     return (q, key), outs
 
 
-@partial(jax.jit, static_argnames=("adapt_step_size", "adapt_mass_matrix"))
-def _nuts_finalize_warmup(da, wf, inv_mass0, step_size, adapt_step_size,
-                          adapt_mass_matrix):
-    if adapt_mass_matrix:
-        mean, m2, count = wf
-        var = m2 / jnp.maximum(count - 1.0, 1.0)
-        n = jnp.maximum(count, 1.0)
-        var = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * 1e-3
-        inv_mass = jnp.where(count > 1.0, var, jnp.ones_like(var))
-    else:
-        inv_mass = inv_mass0
-    final_eps = jnp.exp(da[1]) if adapt_step_size else jnp.asarray(step_size)
-    return final_eps, inv_mass
-
-
 def _run_chain_chunked(raw_fn, data, init_q, key, config, chunk_size):
     num_samples, warmup = config.num_samples, config.warmup
     adapt_eps = config.adapt_step_size and warmup > 0
@@ -397,7 +413,7 @@ def _run_chain_chunked(raw_fn, data, init_q, key, config, chunk_size):
 
     q, _, da, wf, inv_mass0 = warm_carry
     if warmup > 0:
-        final_eps, inv_mass = _nuts_finalize_warmup(
+        final_eps, inv_mass = _finalize_warmup(
             da, wf, inv_mass0, config.step_size,
             config.adapt_step_size, config.adapt_mass_matrix,
         )

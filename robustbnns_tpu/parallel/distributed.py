@@ -76,6 +76,14 @@ def host_identity(
     """
     if host_id is not None and n_hosts is not None:
         return host_id, n_hosts
+    if (host_id is None) != (n_hosts is None):
+        # A lone --host_id (or --n_hosts) silently resolving to (0, 1) would
+        # make this worker train the ENTIRE grid and race its peers on the
+        # shared checkpoints — refuse instead.
+        raise ValueError(
+            "host_id and n_hosts must be given together "
+            f"(got host_id={host_id}, n_hosts={n_hosts})"
+        )
 
     import jax
 

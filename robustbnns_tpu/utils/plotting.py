@@ -64,7 +64,8 @@ def plot_save_grid_images(images, filename: str, savedir: str) -> str:
 
     fig, axes = plt.subplots(side, side, figsize=GRID_FIGSIZE, squeeze=False)
     for idx, ax in enumerate(axes.ravel()):
-        ax.imshow(_as_2d(images[idx]))
+        if idx < len(images):  # empty/short input: leave remaining axes blank
+            ax.imshow(_as_2d(images[idx]))
         ax.set_axis_off()
 
     os.makedirs(savedir, exist_ok=True)

@@ -19,7 +19,7 @@ import numpy as np
 
 print("backend:", jax.default_backend(), flush=True)
 
-from robustbnns_tpu.analysis import loss_gradients, compute_vanishing_norms_idxs
+from robustbnns_tpu.analysis import loss_gradients
 from robustbnns_tpu.config import saved_BNNs
 from robustbnns_tpu.data import load_dataset
 from robustbnns_tpu.experiments.gradients_figures import (
@@ -52,15 +52,13 @@ def sweep(bnn, tag, x_test, y_test):
         grads_list, N_SAMPLES_LIST, bnn.config.dataset, tag,
         plots_dir=OUT + "plots",
     )
-    per_image = np.swapaxes(np.asarray(grads_list), 0, 1)
-    vanishing = compute_vanishing_norms_idxs(
-        per_image, n_samples_list=N_SAMPLES_LIST, norm="linfty", verbose=False
-    )
+    # vanishing_gradients_heatmaps runs the detector internally — one heatmap
+    # row per flagged image, so len(paths) IS the vanishing count.
     paths = vanishing_gradients_heatmaps(
         xg, grads_list, N_SAMPLES_LIST, tag, plots_dir=OUT + "plots"
     )
-    print(f"[{tag}] vanishing {len(vanishing)}/{N_TEST} images, "
-          f"{len(paths)} heatmaps saved", flush=True)
+    print(f"[{tag}] vanishing {len(paths)}/{N_TEST} images (heatmaps saved)",
+          flush=True)
 
 
 cfg = saved_BNNs["model_0"]

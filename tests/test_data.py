@@ -122,7 +122,10 @@ def test_synthetic_dataset_identical_across_processes(tmp_path):
         "(x, y), _ = _synthetic_image_dataset('mnist', 28, 28, 1, 64, 16)\n"
         f"np.savez('{out}', x=x, y=y)\n"
     )
-    subprocess.run([sys.executable, "-c", code], check=True, cwd="/root/repo")
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run([sys.executable, "-c", code], check=True, cwd=repo)
     with np.load(out) as f:
         np.testing.assert_array_equal(f["x"], x_train)
         np.testing.assert_array_equal(f["y"], y_train)

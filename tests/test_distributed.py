@@ -133,9 +133,13 @@ def test_two_process_jax_distributed_cluster():
     resolves from the runtime (no env vars), partitioning covers the work
     list exactly once, and a cross-process collective round-trips."""
     import re
+    import socket
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    port = 12712
+    # Ephemeral free port (a fixed port flakes when a stale worker holds it).
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     procs = []
     for pid in (0, 1):
         env = dict(os.environ)

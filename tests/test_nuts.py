@@ -185,3 +185,37 @@ def test_nuts_chunked_dispatch_bit_identical():
         assert bool(jnp.all(i_mono.step_size == i_chunk.step_size))
         assert bool(jnp.all(i_mono.inv_mass == i_chunk.inv_mass))
         assert bool(jnp.all(i_mono.num_leapfrog == i_chunk.num_leapfrog))
+
+
+def test_subtree_checkpoint_stack_balanced():
+    """Every node a leaf opens must be closed by a later leaf: for a complete
+    (non-terminated) build the checkpoint stack pointer ends at 0 at every
+    depth. The original one-push-per-even-leaf scheme underflowed for any
+    subtree of >=4 leaves, silently voiding the sub-U-turn checks for
+    size->=4 nodes (round-2 review finding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robustbnns_tpu.inference.nuts import _build_subtree
+
+    U = lambda q: jnp.sum(q) * 0.0  # free particle: never U-turns
+    grad_u = jax.grad(U)
+    for depth in range(5):
+        out = _build_subtree(
+            U, grad_u, jnp.asarray(0.0), jnp.zeros(3), jnp.ones(3), 1.0,
+            jnp.asarray(depth, jnp.int32), 0.1, jnp.ones(3), 6,
+            jax.random.key(0),
+        )
+        n_done, turning, sp_end = out[6], out[7], out[9]
+        assert int(n_done) == 2**depth
+        assert not bool(turning)
+        assert int(sp_end) == 0
+
+
+def test_trailing_zeros():
+    from robustbnns_tpu.inference.nuts import _trailing_zeros
+
+    expected = {1: 0, 2: 1, 3: 0, 4: 2, 6: 1, 8: 3, 12: 2, 16: 4}
+    for i, n in expected.items():
+        assert int(_trailing_zeros(jnp.asarray(i, jnp.int32))) == n
+    assert int(_trailing_zeros(jnp.asarray(0, jnp.int32))) == 32
