@@ -51,7 +51,10 @@ def main(args):
     cells = grid_cells_for_host(grid_combinations(**sweep), host_id, n_hosts)
     print(f"grid: {len(cells)} cells on host {host_id}/{n_hosts}")
 
-    grid_train(cells, rel_path, num_chains=args.num_chains)
+    grid_train(
+        cells, rel_path, num_chains=args.num_chains,
+        hmc_mode=args.hmc_mode, sampler=args.sampler,
+    )
     if args.compute_grads:
         grid_compute_grads(cells, posterior_samples, args.test_points, rel_path)
     if args.compute_attacks:
@@ -67,6 +70,10 @@ if __name__ == "__main__":
     parser.add_argument("--compute_attacks", default=False, type=boolean)
     parser.add_argument("--quick", default=False, type=boolean)
     parser.add_argument("--num_chains", default=1, type=int)
+    parser.add_argument(
+        "--hmc_mode", default="faithful", type=str, help="faithful, full"
+    )
+    parser.add_argument("--sampler", default="hmc", type=str, help="hmc, nuts")
     parser.add_argument("--host_id", default=None, type=int)
     parser.add_argument("--n_hosts", default=None, type=int)
     main(parser.parse_args())

@@ -37,6 +37,26 @@ Arrays = Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, tuple, int]
 
 _FALLBACK_ENV = "ROBUSTBNNS_DATA_FALLBACK"
 
+# Version of the synthetic-surrogate GENERATOR code. Bump whenever the
+# generated distribution changes (v1: disjoint prototypes, hash() seeding;
+# v2: crc32 seeding, shared 5-blob pool, noise 0.30). Checkpoints saved in a
+# process that served surrogate data carry this tag so a stale checkpoint
+# evaluated against a newer surrogate fails loudly instead of scoring ~chance
+# (the round-2 cross-process failure mode, reintroduced silently across any
+# code-version boundary otherwise).
+SURROGATE_VERSION = 2
+_surrogate_served: set = set()  # dataset names served synthetically, this process
+
+
+def surrogate_fingerprint() -> Optional[dict]:
+    """Checkpoint-meta tag when this process served synthetic surrogate data."""
+    if not _surrogate_served:
+        return None
+    return {
+        "surrogate_version": SURROGATE_VERSION,
+        "surrogate_datasets": sorted(_surrogate_served),
+    }
+
 
 def labels_to_onehot(integer_labels: np.ndarray, n_classes: Optional[int] = None):
     """Dense one-hot encoding (reference ``utils.py:147-152``)."""
@@ -113,11 +133,85 @@ def _search_npz(names: list[str]) -> Optional[str]:
     return None
 
 
+def _read_idx(path: str) -> np.ndarray:
+    """Read one IDX-format array (the MNIST file format), gzipped or raw.
+
+    The format keras actually distributes Fashion-MNIST in (four
+    ``*-ubyte.gz`` files; reference ``utils.py:95-118`` reads them through
+    ``fashion_mnist.load_data``): big-endian magic ``\\x00\\x00<dtype><ndim>``
+    then ``ndim`` uint32 dims, then the raw array.
+    """
+    import gzip
+    import struct
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        z1, z2, dtype_code, ndim = struct.unpack("BBBB", f.read(4))
+        if z1 != 0 or z2 != 0:
+            raise ValueError(f"{path}: not an IDX file (bad magic)")
+        dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        dtypes = {
+            0x08: np.dtype(np.uint8), 0x09: np.dtype(np.int8),
+            0x0B: np.dtype(">i2"), 0x0C: np.dtype(">i4"),
+            0x0D: np.dtype(">f4"), 0x0E: np.dtype(">f8"),
+        }
+        if dtype_code not in dtypes:
+            raise ValueError(f"{path}: unknown IDX dtype 0x{dtype_code:02x}")
+        data = np.frombuffer(f.read(), dtype=dtypes[dtype_code])
+        if data.size != int(np.prod(dims)):
+            raise ValueError(f"{path}: truncated IDX payload")
+        return data.reshape(dims)
+
+
+# The canonical IDX quad names (keras/LeCun distribution).
+_IDX_FILES = {
+    "x_train": "train-images-idx3-ubyte",
+    "y_train": "train-labels-idx1-ubyte",
+    "x_test": "t10k-images-idx3-ubyte",
+    "y_test": "t10k-labels-idx1-ubyte",
+}
+
+
+def _search_idx_quad(subdirs: list[str]) -> Optional[dict]:
+    """Find all four IDX files (.gz or raw) under the dataset search roots."""
+    roots = [
+        os.environ.get("ROBUSTBNNS_DATASET_DIR", ""),
+        os.path.expanduser("~/.keras/datasets"),
+        "data",
+        ".",
+    ]
+    for root in roots:
+        if not root:
+            continue
+        for sub in subdirs:
+            d = os.path.join(root, sub) if sub else root
+            found = {}
+            for key, stem in _IDX_FILES.items():
+                for name in (stem + ".gz", stem):
+                    path = os.path.join(d, name)
+                    if os.path.exists(path):
+                        found[key] = path
+                        break
+            if len(found) == len(_IDX_FILES):
+                return found
+    return None
+
+
 def _load_mnist_like(dataset_name: str, npz_names: list[str], fallback: str):
     path = _search_npz(npz_names)
     if path is not None:
         with np.load(path, allow_pickle=True) as f:
             return (f["x_train"], f["y_train"]), (f["x_test"], f["y_test"])
+    # keras ships Fashion-MNIST (and LeCun ships MNIST) as IDX quads, not npz —
+    # accept the files exactly as downloaded (e.g. under
+    # ~/.keras/datasets/fashion-mnist/ or $ROBUSTBNNS_DATASET_DIR).
+    idx_subdir = {"mnist": "mnist", "fashion_mnist": "fashion-mnist"}[dataset_name]
+    quad = _search_idx_quad(["", idx_subdir, dataset_name])
+    if quad is not None:
+        return (
+            (_read_idx(quad["x_train"]), _read_idx(quad["y_train"])),
+            (_read_idx(quad["x_test"]), _read_idx(quad["y_test"])),
+        )
     # The keras loader DOWNLOADS when its cache is empty, which can hang for
     # minutes on an offline box — only attempt it when explicitly allowed.
     if os.environ.get("ROBUSTBNNS_ALLOW_DOWNLOAD") == "1":
@@ -133,7 +227,8 @@ def _load_mnist_like(dataset_name: str, npz_names: list[str], fallback: str):
     if fallback == "synthetic":
         return _synthetic_image_dataset(dataset_name, 28, 28, 1, 60000, 10000)
     raise FileNotFoundError(
-        f"No local copy of {dataset_name} (looked for {npz_names} under "
+        f"No local copy of {dataset_name} (looked for {npz_names} and the "
+        f"IDX quad {sorted(_IDX_FILES.values())} [.gz or raw] under "
         f"$ROBUSTBNNS_DATASET_DIR, ~/.keras/datasets, ./data) and no network. "
         f"Pass fallback='synthetic' or set {_FALLBACK_ENV}=synthetic to use a "
         f"deterministic surrogate."
@@ -147,6 +242,7 @@ def _synthetic_image_dataset(name, rows, cols, chans, n_train, n_test):
     so every downstream stage behaves identically. Not the real data — flagged
     by loaders for honest reporting.
     """
+    _surrogate_served.add(name)
     # Stable digest, NOT hash(): str hashes are salted per process, which
     # silently desynchronized the surrogate between a training process and a
     # later evaluation process (loaded checkpoints scored ~chance on "the

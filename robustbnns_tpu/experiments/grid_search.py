@@ -78,6 +78,8 @@ def grid_train(
     *,
     num_chains: int = 1,
     hmc_mode: str = "faithful",
+    sampler: str = "hmc",
+    save: bool = True,
     resume: bool = True,
     verbose: bool = True,
 ):
@@ -87,6 +89,12 @@ def grid_train(
     the config name, like the reference's joblib workers — SURVEY §5.3) skips
     cells whose checkpoint already exists, so a crashed/preempted sweep
     restarts where it stopped.
+
+    ``sampler='nuts'`` swaps the fixed-trajectory HMC kernel for NUTS
+    (beyond-reference: the principled engine for these posteriors — see
+    :mod:`robustbnns_tpu.inference.nuts`); use a distinct ``rel_path`` so
+    variants don't collide on the name-keyed checkpoints. ``save=False``
+    trains without persisting (e.g. timing-only reruns).
     """
     import os
 
@@ -114,9 +122,11 @@ def grid_train(
             batch_size=moons_batch_size(cfg.inference),
             num_chains=num_chains,
             hmc_mode=hmc_mode,
+            hmc_sampler=sampler,
             verbose=verbose,
         )
-        bnn.save(rel_path=rel_path)
+        if save:
+            bnn.save(rel_path=rel_path)
         trained.append(bnn)
     return trained
 

@@ -489,6 +489,10 @@ def hmc_sample(
 
     if chunk_size is None and os.environ.get("ROBUSTBNNS_HMC_CHUNK"):
         chunk_size = int(os.environ["ROBUSTBNNS_HMC_CHUNK"])
+    if chunk_size is not None and chunk_size < 1:
+        # chunk_size=0 would make the chunked driver loop forever (n = min(0,
+        # remaining) never advances) — fail loudly instead.
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
     if data is None:
         # Cache the nullary shim ON the function so the jit cache still hits
         # across calls with the same potential.

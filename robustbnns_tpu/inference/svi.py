@@ -231,17 +231,22 @@ def svi_train(
             jax.random.fold_in(train_key, epoch),
         )
         stats.append((loss_sum, correct))
+        if verbose:
+            # Stream the line as the epoch's dispatch completes (the reference
+            # logs per epoch, ``model_bnn.py:335-339``); the float() is the
+            # device sync, so a stalled backend is visible immediately instead
+            # of after all epochs. Non-verbose keeps the fully-async pipeline.
+            print(
+                f"\n[Epoch {epoch + 1}]\t loss: {float(loss_sum) / n:.2f} \t "
+                f"accuracy: {100.0 * float(correct) / n:.2f}",
+                end="\t",
+                flush=True,
+            )
 
     history = {
         "loss": [float(l) for l, _ in stats],
         "accuracy": [100.0 * float(c) / n for _, c in stats],
     }
     if verbose:
-        for epoch in range(epochs):
-            print(
-                f"\n[Epoch {epoch + 1}]\t loss: {history['loss'][epoch] / n:.2f} \t "
-                f"accuracy: {history['accuracy'][epoch]:.2f}",
-                end="\t",
-            )
         execution_time(start=start, end=time.time())
     return posterior, history

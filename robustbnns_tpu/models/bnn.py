@@ -195,7 +195,7 @@ class BNN:
     def forward(
         self,
         x: jax.Array,
-        n_samples: int = 10,
+        n_samples: Optional[int] = 10,
         *,
         key: Optional[jax.Array] = None,
         seeds: Optional[Sequence[int]] = None,
@@ -205,7 +205,13 @@ class BNN:
 
         ``avg_posterior`` applies to SVI only; for HMC it is ignored exactly as
         the reference ignores it in its HMC branch (``model_bnn.py:243-255``).
+
+        ``n_samples=None`` means the reference's default of 10 — the duck-typed
+        attack/eval drivers pass ``None`` for "model's own default"
+        (``adversarialAttacks.py:111`` accepts it for deterministic models).
         """
+        if n_samples is None:
+            n_samples = 10
         # Imported here (not at module top) to keep `import robustbnns_tpu.predict`
         # usable as a first import — predict pulls in models.architectures, and a
         # top-level import back into predict would close an import cycle.
@@ -261,7 +267,7 @@ class BNN:
 
     def predictive_fn(
         self,
-        n_samples: int = 10,
+        n_samples: Optional[int] = 10,
         *,
         seeds: Optional[Sequence[int]] = None,
         avg_posterior: bool = False,
@@ -282,7 +288,13 @@ class BNN:
         Pallas fused sampled-dense kernels — the TPU throughput path for
         Bayesian attacks; draws come from the in-kernel PRNG stream (same
         distribution, different stream than the XLA path).
+
+        ``n_samples=None`` means the reference's default of 10 (see
+        :meth:`forward`) — so duck-typed drivers that pass ``None`` for
+        deterministic models work unchanged on BNNs.
         """
+        if n_samples is None:
+            n_samples = 10
         if self.config.inference == "hmc" and seeds is None and not avg_posterior:
             seeds = list(range(n_samples))
         if fused:

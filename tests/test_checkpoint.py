@@ -55,6 +55,15 @@ def test_orbax_roundtrip_with_meta(tree, tmp_path):
     assert load_meta(str(tmp_path / "ckpt")) == {"lr": 0.01}
 
 
+def test_orbax_load_accepts_returned_path(tree, tmp_path):
+    """load_pytree/load_meta must accept the exact path save_pytree returned
+    (which carries the .orbax suffix), not just the logical path."""
+    path = save_pytree(tree, str(tmp_path / "rp"), meta={"a": 1}, backend="orbax")
+    wait_for_checkpoints()
+    _assert_tree_equal(load_pytree(tree, path), tree)
+    assert load_meta(path)["a"] == 1
+
+
 def test_orbax_backend_via_env(tree, tmp_path, monkeypatch):
     monkeypatch.setenv("ROBUSTBNNS_CKPT_BACKEND", "orbax")
     path = save_pytree(tree, str(tmp_path / "envckpt"))
@@ -66,6 +75,39 @@ def test_orbax_backend_via_env(tree, tmp_path, monkeypatch):
 def test_unknown_backend_rejected(tree, tmp_path):
     with pytest.raises(ValueError, match="unknown checkpoint backend"):
         save_pytree(tree, str(tmp_path / "x"), backend="pickle")
+
+
+def test_surrogate_version_tagged_and_mismatch_warns(tree, tmp_path, monkeypatch):
+    """Checkpoints saved from a process that served synthetic surrogate data
+    carry the generator version; loading under a different generator warns
+    instead of silently scoring ~chance (ADVICE r2 #4)."""
+    from robustbnns_tpu.data import datasets
+
+    monkeypatch.setattr(datasets, "_surrogate_served", {"mnist"})
+    save_pytree(tree, str(tmp_path / "surr"), meta={"epochs": 1})
+    meta = load_meta(str(tmp_path / "surr"))
+    assert meta["surrogate_version"] == datasets.SURROGATE_VERSION
+    assert meta["surrogate_datasets"] == ["mnist"]
+    assert meta["epochs"] == 1
+
+    # Same generator: silent.
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        load_pytree(tree, str(tmp_path / "surr"))
+    # Different generator version: loud.
+    monkeypatch.setattr(datasets, "SURROGATE_VERSION", 99)
+    with pytest.warns(UserWarning, match="surrogate"):
+        load_pytree(tree, str(tmp_path / "surr"))
+
+
+def test_no_surrogate_tag_without_synthetic_data(tree, tmp_path, monkeypatch):
+    from robustbnns_tpu.data import datasets
+
+    monkeypatch.setattr(datasets, "_surrogate_served", set())
+    save_pytree(tree, str(tmp_path / "real"))
+    assert "surrogate_version" not in load_meta(str(tmp_path / "real"))
 
 
 def test_npz_takes_precedence_when_both_exist(tree, tmp_path):
