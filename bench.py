@@ -69,7 +69,7 @@ def _cost_flops(jitted_fn, *args, **kwargs):
 
 def bench_jax_svi(
     n_steps_timed: int = 300, batch_size: int = 128, train_acc_samples: int = 0,
-    with_flops: bool = False,
+    train_acc_bf16: bool = False, with_flops: bool = False,
 ):
     """Jitted SVI ELBO steps/sec, conv-512 MNIST at batch 128
     (reference hot loop ``model_bnn.py:316-325``).
@@ -103,6 +103,7 @@ def bench_jax_svi(
             arch.apply, optimizer, batch_size, train_acc_samples,
             posterior, opt_state, x, y,
             jax.random.fold_in(make_key(0), epoch),
+            train_acc_bf16=train_acc_bf16,
         )
 
     _sync(run(0)[2])  # compile
@@ -503,6 +504,16 @@ def main():
             f"pgd {jax_pgd_fast:.1f} imgs/s",
             file=sys.stderr,
         )
+        # opt-in bf16 train-accuracy predictive (metric-only, argmax-stable);
+        # the ELBO step stays f32 — see inference.svi._svi_epoch.
+        jax_svi_faithful_bf16acc = bench_jax_svi(
+            train_acc_samples=10, train_acc_bf16=True
+        )
+        print(
+            f"jax svi faithful (opt-in bf16 train-acc): "
+            f"{jax_svi_faithful_bf16acc:.1f} steps/s",
+            file=sys.stderr,
+        )
 
     def median3(fn, *a, **kw):
         """Median of 3 repetitions — the 1-vCPU box is noisy."""
@@ -572,6 +583,9 @@ def main():
                     "mfu_peak_flops": PEAK_FLOPS,
                     # Labeled opt-in fast paths (NOT the framework defaults):
                     "optin_bf16_pgd_images_per_sec": round(jax_pgd_bf16, 2),
+                    "optin_bf16_trainacc_faithful_steps_per_sec": round(
+                        jax_svi_faithful_bf16acc, 2
+                    ),
                     "optin_fast_prng_svi_steps_per_sec": round(jax_svi_fast, 2),
                     "optin_fast_prng_pgd_images_per_sec": round(jax_pgd_fast, 2),
                     "torch_baselines_median_of": 3,

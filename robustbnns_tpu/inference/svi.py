@@ -113,7 +113,10 @@ def elbo_loss(
 
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "optimizer", "batch_size", "train_acc_samples"),
+    static_argnames=(
+        "apply_fn", "optimizer", "batch_size", "train_acc_samples",
+        "train_acc_bf16",
+    ),
 )
 def _svi_epoch(
     apply_fn,
@@ -125,6 +128,7 @@ def _svi_epoch(
     x,
     y,
     key,
+    train_acc_bf16=False,
 ):
     """One SVI epoch as a single dispatch (reference hot loop ``model_bnn.py:316-341``).
 
@@ -133,6 +137,11 @@ def _svi_epoch(
     accuracy — the reference runs 10 guide traces per batch for this
     (``model_bnn.py:327``); here they are a vmapped sample axis sharing one
     batched matmul.
+
+    ``train_acc_bf16`` runs THAT predictive (and only it — the ELBO step stays
+    f32) with bf16 matmuls: the forward feeds an argmax-only accuracy metric,
+    so the precision loss cannot leak into training. Opt-in fast path for the
+    faithful epoch, whose cost the 10-sample predictive dominates.
     """
     perm_key, scan_key = jax.random.split(key)
     perm = jax.random.permutation(perm_key, x.shape[0])
@@ -154,9 +163,20 @@ def _svi_epoch(
 
         if train_acc_samples > 0:
             sample_keys = jax.random.split(k_acc, train_acc_samples)
+            if train_acc_bf16:
+                acc_x = bx.astype(jnp.bfloat16)
+                cast = lambda w: jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16), w
+                )
+            else:
+                acc_x = bx
+                cast = lambda w: w
             probs = jax.vmap(
                 lambda sk: jax.nn.softmax(
-                    apply_fn(sample_meanfield(posterior, sk), bx), axis=-1
+                    apply_fn(cast(sample_meanfield(posterior, sk)), acc_x).astype(
+                        jnp.float32
+                    ),
+                    axis=-1,
                 )
             )(sample_keys).mean(axis=0)
             correct = jnp.sum((jnp.argmax(probs, -1) == labels) * mask)
@@ -180,6 +200,7 @@ def svi_train(
     batch_size: int = 128,
     seed: int = 0,
     train_acc_samples: int = 10,
+    train_acc_bf16: Optional[bool] = None,
     mesh=None,
     verbose: bool = True,
 ):
@@ -189,13 +210,21 @@ def svi_train(
     and train accuracy (reference logs ``loss/N`` and accuracy,
     ``model_bnn.py:335-339``).
 
+    ``train_acc_bf16`` (default: the ``ROBUSTBNNS_BF16_TRAINACC=1`` env
+    opt-in) runs the per-batch train-accuracy predictive with bf16 matmuls —
+    a metric-only fast path; the ELBO optimization itself is untouched.
+
     With ``mesh`` (or a process default, ``parallel.set_default_mesh``), the
     dataset shards over the mesh's ``data`` axis and the posterior/optimizer
     replicate — jit partitions the epoch program SPMD over the mesh, turning
     the gradient reductions into ``psum`` over ICI. Same math, same numbers.
     """
+    import os
+
     from robustbnns_tpu.utils.prng import make_key
 
+    if train_acc_bf16 is None:
+        train_acc_bf16 = os.environ.get("ROBUSTBNNS_BF16_TRAINACC") == "1"
     key = make_key(seed)
     init_key, train_key = jax.random.split(key)
     posterior = init_meanfield(init_key, arch.init(jax.random.key(0)))
@@ -229,6 +258,7 @@ def svi_train(
             x,
             y,
             jax.random.fold_in(train_key, epoch),
+            train_acc_bf16=bool(train_acc_bf16),
         )
         stats.append((loss_sum, correct))
         if verbose:

@@ -135,6 +135,30 @@ def test_grid_search_quick_cell(tmp_path):
     assert sum(len(p) for p in parts) == 5
 
 
+def test_grid_train_sampler_variants(tmp_path):
+    """grid_train routes hmc_mode/sampler through to the engines (the round-3
+    full-chain / NUTS grid variants) and save=False trains without artifacts."""
+    from robustbnns_tpu.experiments.grid_search import grid_combinations, grid_train
+
+    cells = grid_combinations(
+        hidden_size=[16], activation=["leaky"], architecture=["fc2"],
+        inference=["hmc"], epochs=[None], lr=[None], n_samples=[4],
+        warmup=[2], n_inputs=[120],
+    )
+    rel = str(tmp_path) + "/"
+    (nuts_bnn,) = grid_train(
+        cells, rel + "nuts/", hmc_mode="full", sampler="nuts", verbose=False
+    )
+    assert nuts_bnn.samples is not None
+    assert hasattr(nuts_bnn.hmc_info, "num_leapfrog")  # the NUTS engine ran
+    (timed_bnn,) = grid_train(
+        cells, rel + "none/", hmc_mode="full", save=False, verbose=False
+    )
+    assert not os.path.exists(os.path.join(rel, "none", timed_bnn.name))
+    with pytest.raises(ValueError, match="unknown sampler"):
+        grid_train(cells, rel + "bad/", sampler="gibbs", verbose=False)
+
+
 def test_multimodal_flat_posterior(tmp_path):
     from robustbnns_tpu.experiments.multimodal import (
         build_multimodal_df,

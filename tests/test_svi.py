@@ -103,3 +103,29 @@ def test_svi_train_deterministic_given_seed():
         jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_acc_bf16_is_metric_only():
+    """The bf16 train-accuracy fast path must not touch the optimization: the
+    trained posterior is identical to the f32 run, and the accuracy metric
+    stays argmax-close."""
+    x_train, y_train, *_ , inp_shape, out_size = load_dataset(
+        "half_moons", n_inputs=300
+    )
+    arch = build_architecture("fc2", "leaky", inp_shape, out_size, 16)
+    post_a, hist_a = svi_train(
+        arch, x_train, y_train, epochs=2, lr=0.01, batch_size=64,
+        train_acc_bf16=False, verbose=False,
+    )
+    post_b, hist_b = svi_train(
+        arch, x_train, y_train, epochs=2, lr=0.01, batch_size=64,
+        train_acc_bf16=True, verbose=False,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(post_a), jax.tree_util.tree_leaves(post_b)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    np.testing.assert_allclose(hist_a["loss"], hist_b["loss"], rtol=1e-5)
+    # metric itself: bf16 rounding may flip rare near-ties, nothing more
+    for acc_a, acc_b in zip(hist_a["accuracy"], hist_b["accuracy"]):
+        assert abs(acc_a - acc_b) <= 2.0
