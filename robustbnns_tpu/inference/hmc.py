@@ -9,9 +9,14 @@ Replaces Pyro's ``HMC`` kernel + ``MCMC`` driver (reference
   draws — the whole chain is one compiled program; the per-step gradient is
   ``jax.grad(potential)``, i.e. one full-batch forward+backward on the MXU;
 * warmup adapts the step size by dual averaging toward ``target_accept=0.8``
-  and (optionally) a diagonal mass matrix from a Welford estimate over the
-  second half of warmup — the same knobs Pyro's defaults adapt
+  and (optionally) a diagonal mass matrix via Stan's windowed scheme — an
+  init buffer (eps only), a Welford mass window, then a step-size
+  RE-ADAPTATION phase under the new metric (see the chunked-driver note
+  below) — the same knobs Pyro's defaults adapt
   (``adapt_step_size=True, adapt_mass_matrix=True``);
+* every potential/gradient evaluation runs at full f32 matmul precision by
+  default (``HMCConfig.precision``) — XLA:TPU's default bf16 passes inject
+  enough Hamiltonian noise to collapse adaptation on sharp posteriors;
 * chains are a ``vmap`` axis: ``num_chains`` chains integrate in lockstep as
   one batched program (and can be sharded across TPU cores, see
   :mod:`robustbnns_tpu.parallel`) — vs Pyro's ``num_chains=1`` serial chain;
@@ -52,7 +57,18 @@ import jax.numpy as jnp
 
 
 class HMCConfig(NamedTuple):
-    """Sampler knobs (reference defaults: ``model_bnn.py:73``, Pyro HMC)."""
+    """Sampler knobs (reference defaults: ``model_bnn.py:73``, Pyro HMC).
+
+    ``precision`` sets the matmul precision of every potential/gradient
+    evaluation inside the sampler. Default ``"highest"`` (full f32): XLA:TPU's
+    default bf16-pass matmuls inject enough Hamiltonian noise on sharp
+    full-batch posteriors to collapse step-size/mass adaptation entirely
+    (measured: a 5000-point chain froze at eps≈3e-8 with the Welford variance
+    at its regularization floor; the identical run at ``"highest"`` mixes with
+    eps≈4e-3 and O(1) mass — see PERFORMANCE.md round 3). The Pyro/CPU
+    reference runs full f32, so this is also the parity-correct setting;
+    ``"default"`` opts back into the fast path for experiments.
+    """
 
     num_samples: int
     warmup: int
@@ -62,6 +78,7 @@ class HMCConfig(NamedTuple):
     adapt_mass_matrix: bool = True
     target_accept: float = 0.8
     num_chains: int = 1
+    precision: str = "highest"
 
 
 class HMCInfo(NamedTuple):
@@ -172,16 +189,19 @@ def map_warm_start(
 
     @partial(jax.jit, static_argnames=("raw_potential_fn",))
     def run(raw_potential_fn, data, q0):
-        opt_state = optimizer.init(q0)
+        # Full-f32 matmuls for the same reason as the samplers (HMCConfig
+        # docstring): the MAP point seeds an MCMC chain.
+        with jax.default_matmul_precision("highest"):
+            opt_state = optimizer.init(q0)
 
-        def step(carry, _):
-            q, opt_state = carry
-            u, g = jax.value_and_grad(lambda q: raw_potential_fn(q, *data))(q)
-            updates, opt_state = optimizer.update(g, opt_state, q)
-            return (optax.apply_updates(q, updates), opt_state), u
+            def step(carry, _):
+                q, opt_state = carry
+                u, g = jax.value_and_grad(lambda q: raw_potential_fn(q, *data))(q)
+                updates, opt_state = optimizer.update(g, opt_state, q)
+                return (optax.apply_updates(q, updates), opt_state), u
 
-        (q, _), us = jax.lax.scan(step, (q0, opt_state), None, length=steps)
-        return q, us
+            (q, _), us = jax.lax.scan(step, (q0, opt_state), None, length=steps)
+            return q, us
 
     if data == () and not hasattr(potential_fn, "_rbnn_nullary"):
         fn = potential_fn
@@ -204,244 +224,237 @@ def _dual_averaging_update(state, accept_prob, target, t):
     return (log_eps, log_eps_bar, h_bar, mu)
 
 
+# --------------------------------------------------------------------------- #
+# Chunked chain driver (the ONLY driver — ``chunk_size=None`` runs each warmup
+# phase / the sampling phase as single scans). Bounding each device dispatch
+# matters on the remote-TPU backend (it kills multi-minute dispatches; a
+# full-batch 60k-input chain is ~1500 full-batch gradients ≈ minutes as one
+# program). The key-split structure is chunk-invariant, so results are
+# bit-identical for any chunk size up to XLA fusion rounding at chunk
+# boundaries (tested).
+#
+# Warmup is Stan's windowed scheme (when both adaptations are on):
+#   phase A (¼W): dual-averaging on eps, unit mass;
+#   phase B (½W): dual-averaging continues, Welford variance accumulates;
+#   mass switch:  inv_mass := regularized Welford variance (unit-mass fallback
+#                 when the phase never moved), eps := find_reasonable_step_size
+#                 under the NEW metric, fresh dual-averaging state;
+#   phase C (¼W): dual-averaging re-adapts eps for the new mass.
+# Without the re-anchoring, a sharp posterior whose unit-mass warmup barely
+# moves drives the Welford variance to its regularization floor and the
+# adapted step to ~0 — the sampling phase then freezes at one bit-identical
+# position (observed on TPU; PERFORMANCE.md round 3).
+# --------------------------------------------------------------------------- #
+
+
 @partial(
-    jax.jit,
-    static_argnames=(
-        "raw_potential_fn",
-        "num_samples",
-        "warmup",
-        "num_steps",
-        "adapt_step_size",
-        "adapt_mass_matrix",
-    ),
+    jax.jit, static_argnames=("raw_potential_fn", "adapt_step_size", "precision")
 )
-def _hmc_single_chain(
-    raw_potential_fn,
-    data,
-    init_q,
-    key,
-    num_samples,
-    warmup,
-    step_size,
-    num_steps,
-    adapt_step_size,
-    adapt_mass_matrix,
-    target_accept,
+def _hmc_init(
+    raw_potential_fn, data, init_q, key, step_size, adapt_step_size,
+    precision="highest",
 ):
-    # ``data`` is a traced pytree fed to ``raw_potential_fn(q, *data)`` — so a
-    # sweep over many batches of the SAME shape reuses one compiled chain
-    # (closing the data into the potential would force a recompile per batch).
-    potential_fn = lambda q: raw_potential_fn(q, *data)
-    d = init_q.shape[0]
-    transition = _hmc_transition(potential_fn, num_steps)
-    inv_mass0 = jnp.ones((d,), init_q.dtype)
-
-    # ---- warmup: adapt eps (dual averaging) + diag mass (Welford, 2nd half) --
-    key, k_find = jax.random.split(key)
-    if adapt_step_size and warmup > 0:
-        # Guard against a catastrophically-large initial step: rescale until a
-        # single leapfrog step has ~1/2 acceptance (Stan/Pyro's heuristic), but
-        # never RAISE the user's step — one-step acceptance overestimates what
-        # a full multi-step trajectory tolerates, and dual averaging can grow
-        # the step during warmup anyway.
-        eps_found = _find_reasonable_step_size(
-            potential_fn, init_q, k_find, step_size, inv_mass0
-        )
-        eps_init = jnp.minimum(eps_found, jnp.asarray(step_size, init_q.dtype))
-    else:
-        eps_init = jnp.asarray(step_size, init_q.dtype)
-    mu = jnp.log(10.0 * eps_init)
-    da0 = (jnp.log(eps_init), jnp.log(eps_init), jnp.zeros(()), mu)
-    welford0 = (jnp.zeros((d,), init_q.dtype), jnp.zeros((d,), init_q.dtype), 0.0)
-
-    def warmup_step(carry, it):
-        q, k, da, wf, inv_mass = carry
-        k, k_t = jax.random.split(k)
-        eps = jnp.exp(da[0]) if adapt_step_size else jnp.asarray(step_size)
-        q, accept_prob = transition(q, k_t, eps, inv_mass)
+    with jax.default_matmul_precision(precision):
+        potential_fn = lambda q: raw_potential_fn(q, *data)
+        d = init_q.shape[0]
+        inv_mass0 = jnp.ones((d,), init_q.dtype)
+        key, k_find = jax.random.split(key)
         if adapt_step_size:
-            da = _dual_averaging_update(da, accept_prob, target_accept, it)
-        if adapt_mass_matrix:
-            # Welford accumulation over the second half of warmup.
-            in_window = it >= (warmup // 2)
-            mean, m2, count = wf
-            new_count = count + 1.0
-            delta = q - mean
-            new_mean = mean + delta / new_count
-            new_m2 = m2 + delta * (q - new_mean)
-            wf = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(in_window, new, old),
-                (new_mean, new_m2, new_count),
-                wf,
+            # Guard against a catastrophically-large initial step: rescale
+            # until a single leapfrog step has ~1/2 acceptance (Stan/Pyro's
+            # heuristic), but never RAISE the user's step — one-step
+            # acceptance overestimates what a full trajectory tolerates, and
+            # dual averaging can grow the step during warmup anyway.
+            eps_found = _find_reasonable_step_size(
+                potential_fn, init_q, k_find, step_size, inv_mass0
             )
-        return (q, k, da, wf, inv_mass), accept_prob
-
-    key, k_warm = jax.random.split(key)
-    (q, _, da, wf, _), _ = jax.lax.scan(
-        warmup_step,
-        (init_q, k_warm, da0, welford0, inv_mass0),
-        jnp.arange(max(warmup, 1)),
-        length=max(warmup, 1),
-    ) if warmup > 0 else ((init_q, k_warm, da0, welford0, inv_mass0), None)
-
-    if adapt_mass_matrix and warmup > 0:
-        mean, m2, count = wf
-        var = m2 / jnp.maximum(count - 1.0, 1.0)
-        # Regularize toward unit mass (Stan's shrinkage) and guard count<2.
-        n = jnp.maximum(count, 1.0)
-        var = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * 1e-3
-        inv_mass = jnp.where(count > 1.0, var, jnp.ones_like(var))
-    else:
-        inv_mass = inv_mass0
-
-    final_eps = (
-        jnp.exp(da[1]) if (adapt_step_size and warmup > 0) else jnp.asarray(step_size)
-    )
-
-    # ---- sampling: fixed kernel --------------------------------------------
-    def sample_step(carry, _):
-        q, k = carry
-        k, k_t = jax.random.split(k)
-        q, accept_prob = transition(q, k_t, final_eps, inv_mass)
-        return (q, k), (q, accept_prob)
-
-    (_, _), (samples, accept_probs) = jax.lax.scan(
-        sample_step, (q, key), None, length=num_samples
-    )
-    return samples, HMCInfo(accept_probs, final_eps, inv_mass)
-
-
-# --------------------------------------------------------------------------- #
-# Chunked chain driver — mirrors inference.nuts: bound each device dispatch
-# (the remote-TPU worker kills multi-minute dispatches; a full-batch 60k-input
-# chain is ~1500 full-batch gradients ≈ minutes as one program). The key-split
-# structure matches the monolithic scan exactly; values can differ in the
-# last float bits (XLA fuses/reassociates differently across the chunk
-# boundary), which leapfrog dynamics amplify over long chains — the chunked
-# chain is the same algorithm on the same random stream, realized with
-# different rounding, not a different sampler.
-# --------------------------------------------------------------------------- #
-
-
-@partial(jax.jit, static_argnames=("raw_potential_fn", "adapt_step_size"))
-def _hmc_init(raw_potential_fn, data, init_q, key, step_size, adapt_step_size):
-    potential_fn = lambda q: raw_potential_fn(q, *data)
-    d = init_q.shape[0]
-    inv_mass0 = jnp.ones((d,), init_q.dtype)
-    key, k_find = jax.random.split(key)
-    if adapt_step_size:
-        eps_found = _find_reasonable_step_size(
-            potential_fn, init_q, k_find, step_size, inv_mass0
+            eps_init = jnp.minimum(eps_found, jnp.asarray(step_size, init_q.dtype))
+        else:
+            eps_init = jnp.asarray(step_size, init_q.dtype)
+        mu = jnp.log(10.0 * eps_init)
+        da0 = (jnp.log(eps_init), jnp.log(eps_init), jnp.zeros(()), mu)
+        welford0 = (
+            jnp.zeros((d,), init_q.dtype), jnp.zeros((d,), init_q.dtype), 0.0
         )
-        eps_init = jnp.minimum(eps_found, jnp.asarray(step_size, init_q.dtype))
-    else:
-        eps_init = jnp.asarray(step_size, init_q.dtype)
-    mu = jnp.log(10.0 * eps_init)
-    da0 = (jnp.log(eps_init), jnp.log(eps_init), jnp.zeros(()), mu)
-    welford0 = (jnp.zeros((d,), init_q.dtype), jnp.zeros((d,), init_q.dtype), 0.0)
-    key, k_warm = jax.random.split(key)
-    return (init_q, k_warm, da0, welford0, inv_mass0), key
+        key, k_warm = jax.random.split(key)
+        return (init_q, k_warm, da0, welford0, inv_mass0), key
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "raw_potential_fn", "chunk_len", "warmup", "num_steps",
-        "adapt_step_size", "adapt_mass_matrix",
+        "raw_potential_fn", "chunk_len", "num_steps",
+        "adapt_step_size", "welford_on", "precision",
     ),
 )
 def _hmc_warmup_chunk(
-    raw_potential_fn, data, carry, it0, chunk_len, warmup, step_size,
-    num_steps, adapt_step_size, adapt_mass_matrix, target_accept,
+    raw_potential_fn, data, carry, it0, chunk_len, step_size,
+    num_steps, adapt_step_size, welford_on, target_accept, precision="highest",
 ):
-    potential_fn = lambda q: raw_potential_fn(q, *data)
-    transition = _hmc_transition(potential_fn, num_steps)
+    """``chunk_len`` warmup transitions. ``welford_on`` marks the
+    mass-estimation window (phase B); ``it0`` is the phase-local iteration
+    index feeding dual averaging."""
+    with jax.default_matmul_precision(precision):
+        potential_fn = lambda q: raw_potential_fn(q, *data)
+        transition = _hmc_transition(potential_fn, num_steps)
 
-    def warmup_step(carry, it):
-        q, k, da, wf, inv_mass = carry
-        k, k_t = jax.random.split(k)
-        eps = jnp.exp(da[0]) if adapt_step_size else jnp.asarray(step_size)
-        q, accept_prob = transition(q, k_t, eps, inv_mass)
-        if adapt_step_size:
-            da = _dual_averaging_update(da, accept_prob, target_accept, it)
-        if adapt_mass_matrix:
-            in_window = it >= (warmup // 2)
-            mean, m2, count = wf
-            new_count = count + 1.0
-            delta = q - mean
-            new_mean = mean + delta / new_count
-            new_m2 = m2 + delta * (q - new_mean)
-            wf = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(in_window, new, old),
-                (new_mean, new_m2, new_count),
-                wf,
-            )
-        return (q, k, da, wf, inv_mass), accept_prob
+        def warmup_step(carry, it):
+            q, k, da, wf, inv_mass = carry
+            k, k_t = jax.random.split(k)
+            eps = jnp.exp(da[0]) if adapt_step_size else jnp.asarray(step_size)
+            q, accept_prob = transition(q, k_t, eps, inv_mass)
+            if adapt_step_size:
+                da = _dual_averaging_update(da, accept_prob, target_accept, it)
+            if welford_on:
+                mean, m2, count = wf
+                new_count = count + 1.0
+                delta = q - mean
+                new_mean = mean + delta / new_count
+                new_m2 = m2 + delta * (q - new_mean)
+                wf = (new_mean, new_m2, new_count)
+            return (q, k, da, wf, inv_mass), accept_prob
 
-    carry, _ = jax.lax.scan(warmup_step, carry, it0 + jnp.arange(chunk_len))
-    return carry
+        carry, _ = jax.lax.scan(warmup_step, carry, it0 + jnp.arange(chunk_len))
+        return carry
 
 
-@partial(jax.jit, static_argnames=("raw_potential_fn", "chunk_len", "num_steps"))
-def _hmc_sample_chunk(
-    raw_potential_fn, data, q, key, final_eps, inv_mass, chunk_len, num_steps
+@partial(
+    jax.jit,
+    static_argnames=("raw_potential_fn", "adapt_step_size", "precision"),
+)
+def _mass_switch(
+    raw_potential_fn, data, q, key, da, wf, adapt_step_size, precision="highest"
 ):
-    potential_fn = lambda q: raw_potential_fn(q, *data)
-    transition = _hmc_transition(potential_fn, num_steps)
-
-    def sample_step(carry, _):
-        q, k = carry
-        k, k_t = jax.random.split(k)
-        q, accept_prob = transition(q, k_t, final_eps, inv_mass)
-        return (q, k), (q, accept_prob)
-
-    (q, key), outs = jax.lax.scan(sample_step, (q, key), None, length=chunk_len)
-    return (q, key), outs
-
-
-@partial(jax.jit, static_argnames=("adapt_step_size", "adapt_mass_matrix"))
-def _finalize_warmup(da, wf, inv_mass0, step_size, adapt_step_size,
-                     adapt_mass_matrix):
-    if adapt_mass_matrix:
+    """End of the Welford window: install the estimated diagonal mass and
+    re-anchor step-size adaptation under the new metric (fresh dual-averaging
+    state seeded by ``find_reasonable_step_size``). Degenerate variance (a
+    window that never moved) falls back to unit mass instead of freezing the
+    chain at the regularization floor."""
+    with jax.default_matmul_precision(precision):
+        potential_fn = lambda q: raw_potential_fn(q, *data)
         mean, m2, count = wf
         var = m2 / jnp.maximum(count - 1.0, 1.0)
         n = jnp.maximum(count, 1.0)
-        var = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * 1e-3
-        inv_mass = jnp.where(count > 1.0, var, jnp.ones_like(var))
-    else:
-        inv_mass = inv_mass0
-    final_eps = jnp.exp(da[1]) if adapt_step_size else jnp.asarray(step_size)
-    return final_eps, inv_mass
+        var = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * 1e-3  # Stan shrinkage
+        degenerate = jnp.logical_or(count <= 1.0, jnp.max(m2) <= 0.0)
+        inv_mass = jnp.where(degenerate, jnp.ones_like(var), var)
+        if adapt_step_size:
+            eps_f = _find_reasonable_step_size(
+                potential_fn, q, key, jnp.exp(da[1]), inv_mass
+            )
+            da = (
+                jnp.log(eps_f), jnp.log(eps_f), jnp.zeros(()),
+                jnp.log(10.0 * eps_f),
+            )
+        return da, inv_mass
+
+
+@partial(
+    jax.jit,
+    static_argnames=("raw_potential_fn", "chunk_len", "num_steps", "precision"),
+)
+def _hmc_sample_chunk(
+    raw_potential_fn, data, q, key, final_eps, inv_mass, chunk_len, num_steps,
+    precision="highest",
+):
+    with jax.default_matmul_precision(precision):
+        potential_fn = lambda q: raw_potential_fn(q, *data)
+        transition = _hmc_transition(potential_fn, num_steps)
+
+        def sample_step(carry, _):
+            q, k = carry
+            k, k_t = jax.random.split(k)
+            q, accept_prob = transition(q, k_t, final_eps, inv_mass)
+            return (q, k), (q, accept_prob)
+
+        (q, key), outs = jax.lax.scan(
+            sample_step, (q, key), None, length=chunk_len
+        )
+        return (q, key), outs
+
+
+def warmup_phase_lengths(warmup, adapt_step_size, adapt_mass_matrix):
+    """(init-buffer, mass-window, term-buffer) split of the warmup budget.
+
+    Stan's proportions (¼, ½, ¼) when both adaptations run; the whole budget
+    is one step-size phase without mass adaptation; the legacy half/half split
+    when only the mass adapts (no step re-anchoring possible).
+    """
+    if warmup <= 0 or not adapt_mass_matrix:
+        return warmup, 0, 0
+    if adapt_step_size:
+        w1 = warmup // 4
+        w3 = warmup // 4
+        return w1, warmup - w1 - w3, w3
+    w1 = warmup // 2
+    return w1, warmup - w1, 0
+
+
+def run_windowed_warmup(
+    warmup_chunk, mass_switch, warm_carry, config, chunk_size
+):
+    """Drive the windowed warmup host-side in bounded chunks.
+
+    ``warmup_chunk(carry, it0, n, welford_on)`` runs ``n`` transitions;
+    ``mass_switch(q, key, da, wf)`` installs the mass and re-anchors eps.
+    Chunks never span phase boundaries, so chunking is bit-invariant.
+    Returns the final ``(q, key, da, wf, inv_mass)`` carry.
+    """
+    warmup = config.warmup
+    adapt_eps = config.adapt_step_size and warmup > 0
+    adapt_mass = config.adapt_mass_matrix and warmup > 0
+    C = chunk_size or max(warmup, config.num_samples, 1)
+
+    def phase(carry, length, welford_on):
+        it = 0
+        while it < length:
+            n = min(C, length - it)
+            carry = warmup_chunk(carry, jnp.asarray(it, jnp.int32), n, welford_on)
+            it += n
+        return carry
+
+    w1, w2, w3 = warmup_phase_lengths(warmup, adapt_eps, adapt_mass)
+    carry = phase(warm_carry, w1, False)
+    if adapt_mass:
+        carry = phase(carry, w2, True)
+        q, k, da, wf, _ = carry
+        k, k_ms = jax.random.split(k)
+        da, inv_mass = mass_switch(q, k_ms, da, wf)
+        d = q.shape[0]
+        welford_reset = (
+            jnp.zeros((d,), q.dtype), jnp.zeros((d,), q.dtype), 0.0
+        )
+        carry = phase((q, k, da, welford_reset, inv_mass), w3, False)
+    return carry
 
 
 def _run_hmc_chain_chunked(raw_fn, data, init_q, key, config, chunk_size):
     num_samples, warmup = config.num_samples, config.warmup
     adapt_eps = config.adapt_step_size and warmup > 0
-    C = chunk_size
+    prec = config.precision
+    C = chunk_size or max(warmup, num_samples, 1)
 
     warm_carry, sample_key = _hmc_init(
-        raw_fn, data, init_q, key, config.step_size, adapt_eps
+        raw_fn, data, init_q, key, config.step_size, adapt_eps, precision=prec
     )
 
-    it = 0
-    while it < warmup:
-        n = min(C, warmup - it)
-        warm_carry = _hmc_warmup_chunk(
-            raw_fn, data, warm_carry, jnp.asarray(it, jnp.int32), n, warmup,
-            config.step_size, config.num_steps, config.adapt_step_size,
-            config.adapt_mass_matrix, config.target_accept,
+    def warmup_chunk(carry, it0, n, welford_on):
+        return _hmc_warmup_chunk(
+            raw_fn, data, carry, it0, n, config.step_size, config.num_steps,
+            adapt_eps, welford_on, config.target_accept, precision=prec,
         )
-        it += n
 
-    q, _, da, wf, inv_mass0 = warm_carry
-    if warmup > 0:
-        final_eps, inv_mass = _finalize_warmup(
-            da, wf, inv_mass0, config.step_size,
-            config.adapt_step_size, config.adapt_mass_matrix,
-        )
+    def mass_switch(q, k_ms, da, wf):
+        return _mass_switch(raw_fn, data, q, k_ms, da, wf, adapt_eps,
+                            precision=prec)
+
+    q, _, da, _, inv_mass = run_windowed_warmup(
+        warmup_chunk, mass_switch, warm_carry, config, chunk_size
+    )
+    if adapt_eps:
+        final_eps = jnp.exp(da[1])
     else:
         final_eps = jnp.asarray(config.step_size, init_q.dtype)
-        inv_mass = inv_mass0
 
     carry = (q, sample_key)
     chunks = []
@@ -450,7 +463,7 @@ def _run_hmc_chain_chunked(raw_fn, data, init_q, key, config, chunk_size):
         n = min(C, num_samples - done)
         carry, outs = _hmc_sample_chunk(
             raw_fn, data, carry[0], carry[1], final_eps, inv_mass, n,
-            config.num_steps,
+            config.num_steps, precision=prec,
         )
         chunks.append(outs)
         done += n
@@ -482,8 +495,9 @@ def hmc_sample(
     ``chunk_size`` (env default ``ROBUSTBNNS_HMC_CHUNK``) bounds warmup
     iterations / draws per device dispatch for big full-batch chains on the
     remote backend (see :mod:`robustbnns_tpu.inference.nuts` for the
-    motivating failure). Same key stream and algorithm as the monolithic
-    scan; values may drift in the last float bits across chunk boundaries.
+    motivating failure); ``None`` runs each phase as one scan. The key stream
+    is chunk-invariant; values may drift in the last float bits across chunk
+    boundaries.
     """
     import os
 
@@ -502,24 +516,9 @@ def hmc_sample(
             fn._rbnn_nullary = shim
         potential_fn = potential_fn._rbnn_nullary
         data = ()
-    if chunk_size is not None:
-        run = lambda q0, k: _run_hmc_chain_chunked(
-            potential_fn, tuple(data), q0, k, config, chunk_size
-        )
-    else:
-        run = lambda q0, k: _hmc_single_chain(
-            potential_fn,
-            tuple(data),
-            q0,
-            k,
-            config.num_samples,
-            config.warmup,
-            config.step_size,
-            config.num_steps,
-            config.adapt_step_size,
-            config.adapt_mass_matrix,
-            config.target_accept,
-        )
+    run = lambda q0, k: _run_hmc_chain_chunked(
+        potential_fn, tuple(data), q0, k, config, chunk_size
+    )
     if config.num_chains == 1:
         return run(init_position, key)
     keys = jax.random.split(key, config.num_chains)

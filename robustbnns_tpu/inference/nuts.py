@@ -30,8 +30,10 @@ TPU-first design — recursion-free NUTS:
   update is one fused vector op and the potential gradient is one batched
   MXU forward/backward;
 * warmup reuses the HMC machinery: ``find_reasonable_step_size`` guard, dual
-  averaging on the trajectory-averaged acceptance statistic, Welford diagonal
-  mass over the second half of warmup.
+  averaging on the trajectory-averaged acceptance statistic, and the windowed
+  diagonal-mass scheme with post-switch step-size re-adaptation (see
+  :mod:`robustbnns_tpu.inference.hmc`); full-f32 matmul precision by default
+  (``NUTSConfig.precision``).
 
 Divergences use Stan's ``ΔH > 1000`` cutoff. ``num_chains`` vmaps whole
 chains, shardable over a mesh's ``sample`` axis like HMC chains.
@@ -46,14 +48,20 @@ import jax.numpy as jnp
 
 from robustbnns_tpu.inference.hmc import (
     _dual_averaging_update,
-    _finalize_warmup,
     _find_reasonable_step_size,
     _kinetic,
+    _mass_switch,
+    run_windowed_warmup,
 )
 
 
 class NUTSConfig(NamedTuple):
-    """Sampler knobs (Stan/NumPyro defaults)."""
+    """Sampler knobs (Stan/NumPyro defaults).
+
+    ``precision`` — matmul precision inside the sampler; default full f32,
+    see :class:`robustbnns_tpu.inference.hmc.HMCConfig` for the measured
+    TPU-bf16 adaptation-collapse failure that makes this the default.
+    """
 
     num_samples: int
     warmup: int
@@ -63,6 +71,7 @@ class NUTSConfig(NamedTuple):
     adapt_mass_matrix: bool = True
     target_accept: float = 0.8
     num_chains: int = 1
+    precision: str = "highest"
 
 
 class NUTSInfo(NamedTuple):
@@ -302,124 +311,125 @@ def _nuts_transition(potential_fn, max_depth):
 
 @partial(
     jax.jit,
-    static_argnames=("raw_potential_fn", "adapt_step_size"),
+    static_argnames=("raw_potential_fn", "adapt_step_size", "precision"),
 )
-def _nuts_init(raw_potential_fn, data, init_q, key, step_size, adapt_step_size):
-    """Initial step size (find-reasonable guard) + fresh adaptation state.
+def _nuts_init(
+    raw_potential_fn, data, init_q, key, step_size, adapt_step_size,
+    precision="highest",
+):
+    """Initial step size (find-reasonable guard) + fresh adaptation state."""
+    with jax.default_matmul_precision(precision):
+        potential_fn = lambda q: raw_potential_fn(q, *data)
+        d = init_q.shape[0]
+        inv_mass0 = jnp.ones((d,), init_q.dtype)
 
-    Returns ``(warmup_carry, sample_key)``; the key splits reproduce the
-    original monolithic driver exactly.
-    """
-    potential_fn = lambda q: raw_potential_fn(q, *data)
-    d = init_q.shape[0]
-    inv_mass0 = jnp.ones((d,), init_q.dtype)
-
-    key, k_find = jax.random.split(key)
-    if adapt_step_size:
-        eps_found = _find_reasonable_step_size(
-            potential_fn, init_q, k_find, step_size, inv_mass0
+        key, k_find = jax.random.split(key)
+        if adapt_step_size:
+            eps_found = _find_reasonable_step_size(
+                potential_fn, init_q, k_find, step_size, inv_mass0
+            )
+            eps_init = jnp.minimum(eps_found, jnp.asarray(step_size, init_q.dtype))
+        else:
+            eps_init = jnp.asarray(step_size, init_q.dtype)
+        mu = jnp.log(10.0 * eps_init)
+        da0 = (jnp.log(eps_init), jnp.log(eps_init), jnp.zeros(()), mu)
+        welford0 = (
+            jnp.zeros((d,), init_q.dtype), jnp.zeros((d,), init_q.dtype), 0.0
         )
-        eps_init = jnp.minimum(eps_found, jnp.asarray(step_size, init_q.dtype))
-    else:
-        eps_init = jnp.asarray(step_size, init_q.dtype)
-    mu = jnp.log(10.0 * eps_init)
-    da0 = (jnp.log(eps_init), jnp.log(eps_init), jnp.zeros(()), mu)
-    welford0 = (jnp.zeros((d,), init_q.dtype), jnp.zeros((d,), init_q.dtype), 0.0)
-    key, k_warm = jax.random.split(key)
-    return (init_q, k_warm, da0, welford0, inv_mass0), key
+        key, k_warm = jax.random.split(key)
+        return (init_q, k_warm, da0, welford0, inv_mass0), key
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "raw_potential_fn", "chunk_len", "warmup", "max_depth",
-        "adapt_step_size", "adapt_mass_matrix",
+        "raw_potential_fn", "chunk_len", "max_depth",
+        "adapt_step_size", "welford_on", "precision",
     ),
 )
 def _nuts_warmup_chunk(
-    raw_potential_fn, data, carry, it0, chunk_len, warmup, step_size,
-    max_depth, adapt_step_size, adapt_mass_matrix, target_accept,
+    raw_potential_fn, data, carry, it0, chunk_len, step_size,
+    max_depth, adapt_step_size, welford_on, target_accept, precision="highest",
 ):
-    potential_fn = lambda q: raw_potential_fn(q, *data)
-    transition = _nuts_transition(potential_fn, max_depth)
+    """``chunk_len`` warmup transitions; ``welford_on`` marks the mass window
+    (see the windowed-warmup note in :mod:`robustbnns_tpu.inference.hmc`)."""
+    with jax.default_matmul_precision(precision):
+        potential_fn = lambda q: raw_potential_fn(q, *data)
+        transition = _nuts_transition(potential_fn, max_depth)
 
-    def warmup_step(carry, it):
-        q, k, da, wf, inv_mass = carry
-        k, k_t = jax.random.split(k)
-        eps = jnp.exp(da[0]) if adapt_step_size else jnp.asarray(step_size)
-        q, accept_stat, _, _ = transition(q, k_t, eps, inv_mass)
-        if adapt_step_size:
-            da = _dual_averaging_update(da, accept_stat, target_accept, it)
-        if adapt_mass_matrix:
-            in_window = it >= (warmup // 2)
-            mean, m2, count = wf
-            new_count = count + 1.0
-            delta = q - mean
-            new_mean = mean + delta / new_count
-            new_m2 = m2 + delta * (q - new_mean)
-            wf = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(in_window, new, old),
-                (new_mean, new_m2, new_count),
-                wf,
-            )
-        return (q, k, da, wf, inv_mass), accept_stat
+        def warmup_step(carry, it):
+            q, k, da, wf, inv_mass = carry
+            k, k_t = jax.random.split(k)
+            eps = jnp.exp(da[0]) if adapt_step_size else jnp.asarray(step_size)
+            q, accept_stat, _, _ = transition(q, k_t, eps, inv_mass)
+            if adapt_step_size:
+                da = _dual_averaging_update(da, accept_stat, target_accept, it)
+            if welford_on:
+                mean, m2, count = wf
+                new_count = count + 1.0
+                delta = q - mean
+                new_mean = mean + delta / new_count
+                new_m2 = m2 + delta * (q - new_mean)
+                wf = (new_mean, new_m2, new_count)
+            return (q, k, da, wf, inv_mass), accept_stat
 
-    carry, _ = jax.lax.scan(
-        warmup_step, carry, it0 + jnp.arange(chunk_len)
-    )
-    return carry
+        carry, _ = jax.lax.scan(
+            warmup_step, carry, it0 + jnp.arange(chunk_len)
+        )
+        return carry
 
 
 @partial(
     jax.jit,
-    static_argnames=("raw_potential_fn", "chunk_len", "max_depth"),
+    static_argnames=("raw_potential_fn", "chunk_len", "max_depth", "precision"),
 )
 def _nuts_sample_chunk(
-    raw_potential_fn, data, q, key, final_eps, inv_mass, chunk_len, max_depth
+    raw_potential_fn, data, q, key, final_eps, inv_mass, chunk_len, max_depth,
+    precision="highest",
 ):
-    potential_fn = lambda q: raw_potential_fn(q, *data)
-    transition = _nuts_transition(potential_fn, max_depth)
+    with jax.default_matmul_precision(precision):
+        potential_fn = lambda q: raw_potential_fn(q, *data)
+        transition = _nuts_transition(potential_fn, max_depth)
 
-    def sample_step(carry, _):
-        q, k = carry
-        k, k_t = jax.random.split(k)
-        q, accept_stat, n_lf, div = transition(q, k_t, final_eps, inv_mass)
-        return (q, k), (q, accept_stat, n_lf, div)
+        def sample_step(carry, _):
+            q, k = carry
+            k, k_t = jax.random.split(k)
+            q, accept_stat, n_lf, div = transition(q, k_t, final_eps, inv_mass)
+            return (q, k), (q, accept_stat, n_lf, div)
 
-    (q, key), outs = jax.lax.scan(
-        sample_step, (q, key), None, length=chunk_len
-    )
-    return (q, key), outs
+        (q, key), outs = jax.lax.scan(
+            sample_step, (q, key), None, length=chunk_len
+        )
+        return (q, key), outs
 
 
 def _run_chain_chunked(raw_fn, data, init_q, key, config, chunk_size):
     num_samples, warmup = config.num_samples, config.warmup
     adapt_eps = config.adapt_step_size and warmup > 0
+    prec = config.precision
     C = chunk_size or max(warmup, num_samples, 1)
 
     warm_carry, sample_key = _nuts_init(
-        raw_fn, data, init_q, key, config.step_size, adapt_eps
+        raw_fn, data, init_q, key, config.step_size, adapt_eps, precision=prec
     )
 
-    it = 0
-    while it < warmup:
-        n = min(C, warmup - it)
-        warm_carry = _nuts_warmup_chunk(
-            raw_fn, data, warm_carry, jnp.asarray(it, jnp.int32), n, warmup,
-            config.step_size, config.max_depth, config.adapt_step_size,
-            config.adapt_mass_matrix, config.target_accept,
+    def warmup_chunk(carry, it0, n, welford_on):
+        return _nuts_warmup_chunk(
+            raw_fn, data, carry, it0, n, config.step_size, config.max_depth,
+            adapt_eps, welford_on, config.target_accept, precision=prec,
         )
-        it += n
 
-    q, _, da, wf, inv_mass0 = warm_carry
-    if warmup > 0:
-        final_eps, inv_mass = _finalize_warmup(
-            da, wf, inv_mass0, config.step_size,
-            config.adapt_step_size, config.adapt_mass_matrix,
-        )
+    def mass_switch(q, k_ms, da, wf):
+        return _mass_switch(raw_fn, data, q, k_ms, da, wf, adapt_eps,
+                            precision=prec)
+
+    q, _, da, _, inv_mass = run_windowed_warmup(
+        warmup_chunk, mass_switch, warm_carry, config, chunk_size
+    )
+    if adapt_eps:
+        final_eps = jnp.exp(da[1])
     else:
         final_eps = jnp.asarray(config.step_size, init_q.dtype)
-        inv_mass = inv_mass0
 
     carry = (q, sample_key)
     chunks = []
@@ -428,7 +438,7 @@ def _run_chain_chunked(raw_fn, data, init_q, key, config, chunk_size):
         n = min(C, num_samples - done)
         carry, outs = _nuts_sample_chunk(
             raw_fn, data, carry[0], carry[1], final_eps, inv_mass, n,
-            config.max_depth,
+            config.max_depth, precision=prec,
         )
         chunks.append(outs)
         done += n

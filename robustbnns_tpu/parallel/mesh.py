@@ -211,7 +211,7 @@ def sharded_hmc_chains(potential_fn, mesh: Mesh, config):
     replacement for running Pyro chains in separate processes. Initial
     positions ``(C, D)`` and keys ``(C,)`` must be sharded over ``sample``.
     """
-    from robustbnns_tpu.inference.hmc import _hmc_single_chain
+    from robustbnns_tpu.inference.hmc import _run_hmc_chain_chunked
 
     chain_sharding = NamedSharding(mesh, P("sample"))
 
@@ -222,12 +222,7 @@ def sharded_hmc_chains(potential_fn, mesh: Mesh, config):
     )
     def run(init_positions, keys):
         def one(q0, k):
-            return _hmc_single_chain(
-                potential_fn, (), q0, k,
-                config.num_samples, config.warmup, config.step_size,
-                config.num_steps, config.adapt_step_size,
-                config.adapt_mass_matrix, config.target_accept,
-            )
+            return _run_hmc_chain_chunked(potential_fn, (), q0, k, config, None)
 
         samples, infos = jax.vmap(one)(init_positions, keys)
         return samples, infos

@@ -8,14 +8,18 @@ and the paper's "gradients shrink in the overparametrized limit" trend
 re-runs the SAME 36-cell grid with two properly-mixed engines and produces
 the faithful-vs-idiomatic comparison:
 
+* ``faithful`` — the reference's batched engine (round-3 fixed warmup);
 * ``full``  — one proper full-data HMC chain per cell (``hmc_mode='full'``);
-* ``nuts``  — full-data No-U-Turn chain per cell (beyond-reference engine);
-* ``faithful`` — accuracy/diversity/gradients from the round-2 checkpoints
-  under ``data/``; train wall-clock re-measured (train-only, no save).
+* ``nuts``  — full-data No-U-Turn chain per cell (beyond-reference engine).
 
-Outputs: checkpoints + S=250 expected gradients under ``data/grid_full/`` and
-``data/grid_nuts/``; per-cell summary CSV ``data/grid3_summary.csv`` (variant,
-cell, train seconds, accuracy, accept rate, leapfrogs/draw, posterior draw
+All three retrain with the round-3 engine (windowed mass warmup + full-f32
+sampler precision — the first grid run of this script EXPOSED the TPU
+bf16-precision adaptation collapse; round-2 checkpoints under ``data/`` are
+left untouched as artifacts of the old engine).
+
+Outputs: checkpoints + S=250 expected gradients under ``data/grid_<variant>/``;
+per-cell summary CSV ``data/grid3_summary.csv`` (variant, cell, train seconds,
+accuracy, accept rate, adapted step size, leapfrogs/draw, posterior draw
 diversity, mean |expected gradient|); overparam scatter figures per variant
 under ``plots/``; a width-trend table on stdout.
 
@@ -75,16 +79,23 @@ else:
     CSV_PATH = os.path.join(DATA, "grid3_summary.csv")
 FIELDS = [
     "variant", "hidden_size", "warmup", "n_inputs", "train_s", "test_acc",
-    "accept", "leapfrog_per_draw", "distinct_draws", "sample_spread",
+    "accept", "eps", "leapfrog_per_draw", "distinct_draws", "sample_spread",
     "grad_absmean_x", "grad_absmean_y",
 ]
+# (mode, sampler) per variant; 'faithful' retrains with the FIXED round-3
+# engine into its own dir (round-2 checkpoints under data/ stay untouched as
+# historical artifacts of the pre-windowed-warmup engine).
+VARIANT_ENGINE = {
+    "faithful": ("faithful", "hmc"),
+    "full": ("full", "hmc"),
+    "nuts": ("full", "nuts"),
+}
 if QUICK:
     _BASE = os.path.dirname(CSV_PATH)
     VARIANT_DIR = {v: os.path.join(_BASE, v) for v in ("full", "nuts", "faithful")}
 else:
-    VARIANT_DIR = {"full": os.path.join(DATA, "grid_full"),
-                   "nuts": os.path.join(DATA, "grid_nuts"),
-                   "faithful": DATA}  # round-2 checkpoints live here
+    VARIANT_DIR = {v: os.path.join(DATA, f"grid_{v}")
+                   for v in ("full", "nuts", "faithful")}
 
 
 def existing_rows():
@@ -149,7 +160,7 @@ def main():
     done = existing_rows()
     t_start = time.time()
 
-    for variant in ("full", "nuts", "faithful"):
+    for variant in ("faithful", "full", "nuts"):
         vdir = VARIANT_DIR[variant]
         os.makedirs(vdir, exist_ok=True)
         for cell in cells:
@@ -162,23 +173,12 @@ def main():
             try:
                 bnn = BNN.from_config(cfg, inp_shape, out_size, n_inputs=n_inputs)
                 ckpt = os.path.join(vdir, bnn.name, bnn.name + "_weights.npz")
-                if variant == "faithful":
-                    info = None
-                    if os.path.exists(ckpt):
-                        # Round-2 checkpoint supplies the posterior;
-                        # re-measure the train wall-clock only (no save).
-                        _, train_s = train_cell(cell, "faithful", "hmc")
-                        bnn.load(rel_path=vdir)
-                    else:
-                        bnn, train_s = train_cell(cell, "faithful", "hmc")
-                        bnn.save(rel_path=vdir)
-                elif os.path.exists(ckpt):
+                mode, sampler = VARIANT_ENGINE[variant]
+                if os.path.exists(ckpt):
                     bnn.load(rel_path=vdir)
                     train_s, info = float("nan"), None
                 else:
-                    bnn, train_s = train_cell(
-                        cell, "full", "nuts" if variant == "nuts" else "hmc"
-                    )
+                    bnn, train_s = train_cell(cell, mode, sampler)
                     bnn.save(rel_path=vdir)
                     info = getattr(bnn, "hmc_info", None)
 
@@ -209,16 +209,18 @@ def main():
                     if acc_arr is None:
                         acc_arr = info.accept_stat
                     accept = float(jnp.mean(acc_arr))
+                    eps = float(jnp.mean(info.step_size))
                     nlf = getattr(info, "num_leapfrog", None)
                     leapfrog = float(jnp.mean(nlf)) if nlf is not None else 10.0
                 else:
-                    accept, leapfrog = float("nan"), float("nan")
+                    accept, eps, leapfrog = (float("nan"),) * 3
 
                 row = dict(
                     variant=variant, hidden_size=cfg.hidden_size,
                     warmup=cfg.warmup, n_inputs=n_inputs,
                     train_s=round(train_s, 2), test_acc=round(acc, 2),
-                    accept=round(accept, 3), leapfrog_per_draw=round(leapfrog, 1),
+                    accept=round(accept, 3), eps=eps,
+                    leapfrog_per_draw=round(leapfrog, 1),
                     distinct_draws=distinct, sample_spread=round(spread, 5),
                     grad_absmean_x=float(g[:, 0].mean()),
                     grad_absmean_y=float(g[:, 1].mean()),
@@ -239,7 +241,7 @@ def main():
         overparam_scatterplot,
     )
 
-    for variant in ("full", "nuts"):
+    for variant in ("faithful", "full", "nuts"):
         vdir = VARIANT_DIR[variant]
         try:
             df = build_overparam_scatterplot_dataset(

@@ -232,3 +232,54 @@ def test_hmc_chunked_dispatch_equivalent():
         np.testing.assert_allclose(
             float(i_mono.step_size), float(i_chunk.step_size), rtol=1e-3
         )
+
+
+def test_mass_switch_degenerate_guard_and_reanchor():
+    """A Welford window that never moved must fall back to unit mass (not the
+    ~1e-4 regularization floor that froze TPU chains), and step-size
+    adaptation must re-anchor under the new metric (round-3 fix)."""
+    import jax
+
+    from robustbnns_tpu.inference.hmc import _mass_switch
+
+    d = 6
+    pot = lambda q, *unused: 0.5 * jnp.sum(q * q)
+    q = jnp.full((d,), 0.3)
+    da = (jnp.log(1e-6), jnp.log(1e-6), jnp.zeros(()), jnp.log(1e-5))
+
+    # Degenerate window: zero movement => m2 == 0.
+    wf_frozen = (q, jnp.zeros((d,)), 50.0)
+    da2, inv_mass = _mass_switch(pot, (), q, jax.random.key(0), da, wf_frozen, True)
+    np.testing.assert_array_equal(np.asarray(inv_mass), np.ones(d))
+    # Re-anchored step escaped the collapsed 1e-6 estimate.
+    assert float(jnp.exp(da2[0])) > 1e-5
+    assert float(da2[2]) == 0.0  # fresh dual-averaging state
+
+    # Healthy window: variance flows through (with Stan shrinkage).
+    m2 = jnp.full((d,), 2.0) * 49.0  # var = 2.0 over 50 draws
+    da3, inv_mass2 = _mass_switch(
+        pot, (), q, jax.random.key(0), da, (q, m2, 50.0), True
+    )
+    expected = (50.0 / 55.0) * 2.0 + (5.0 / 55.0) * 1e-3
+    np.testing.assert_allclose(np.asarray(inv_mass2), expected, rtol=1e-5)
+
+
+def test_windowed_warmup_phase_lengths():
+    from robustbnns_tpu.inference.hmc import warmup_phase_lengths
+
+    assert warmup_phase_lengths(100, True, True) == (25, 50, 25)
+    assert warmup_phase_lengths(100, True, False) == (100, 0, 0)
+    assert warmup_phase_lengths(100, False, True) == (50, 50, 0)
+    assert warmup_phase_lengths(0, True, True) == (0, 0, 0)
+    w1, w2, w3 = warmup_phase_lengths(7, True, True)
+    assert (w1, w2, w3) == (1, 5, 1) and w1 + w2 + w3 == 7
+
+
+def test_mcmc_defaults_full_precision():
+    """TPU default bf16 matmul passes collapse adaptation on sharp posteriors
+    (measured round 3) — the samplers must default to full f32."""
+    from robustbnns_tpu.inference.hmc import HMCConfig
+    from robustbnns_tpu.inference.nuts import NUTSConfig
+
+    assert HMCConfig(num_samples=1, warmup=1).precision == "highest"
+    assert NUTSConfig(num_samples=1, warmup=1).precision == "highest"
