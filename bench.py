@@ -121,11 +121,16 @@ def bench_jax_svi(
 
 def bench_jax_hmc(
     batch: int = 5000, n_samples: int = 30, num_steps: int = 10,
-    with_flops: bool = False,
+    precision: str = "highest", with_flops: bool = False,
 ):
     """HMC leapfrog steps/sec: fc2-512 MNIST model_1 shape, full 5000-image
     batch (reference ``model_bnn.py:269-277`` — each leapfrog step is a
-    full-batch forward+backward)."""
+    full-batch forward+backward).
+
+    ``precision`` follows the sampler default (full f32 — bf16-pass matmuls
+    collapse MCMC adaptation on sharp posteriors, see HMCConfig); the
+    ``"default"`` variant is reported as a labeled opt-in extra.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -150,6 +155,7 @@ def bench_jax_hmc(
     cfg = HMCConfig(
         num_samples=n_samples, warmup=warmup, step_size=1e-4,
         num_steps=num_steps, adapt_step_size=False, adapt_mass_matrix=False,
+        precision=precision,
     )
     samples, info = hmc_sample(potential, flat0, jax.random.key(1), cfg)
     _sync(samples)  # compile + run once
@@ -162,8 +168,14 @@ def bench_jax_hmc(
     if not with_flops:
         return rate
     # One leapfrog step ≈ one potential gradient (full-batch forward+backward);
-    # the vector half-steps are noise next to the matmuls.
-    flops_per_leapfrog = _cost_flops(jax.jit(jax.grad(potential)), flat0)
+    # the vector half-steps are noise next to the matmuls. Probe at the same
+    # matmul precision the sampler ran so the FLOP count matches the path.
+    @jax.jit
+    def grad_probe(q):
+        with jax.default_matmul_precision(precision):
+            return jax.grad(potential)(q)
+
+    flops_per_leapfrog = _cost_flops(grad_probe, flat0)
     return rate, flops_per_leapfrog
 
 
@@ -290,9 +302,13 @@ def bench_jax_nuts(
     rate = evals / (time.perf_counter() - t0)
     if not with_flops:
         return rate
-    flops_per_eval = _cost_flops(
-        jax.jit(jax.grad(lambda q: potential(q, x, labels))), flat0
-    )
+
+    @jax.jit
+    def grad_probe(q):  # same matmul precision as the sampler path
+        with jax.default_matmul_precision(cfg.precision):
+            return jax.grad(lambda q: potential(q, x, labels))(q)
+
+    flops_per_eval = _cost_flops(grad_probe, flat0)
     return rate, flops_per_eval
 
 
@@ -490,6 +506,14 @@ def main():
         )
 
         # ---- labeled opt-in fast paths -------------------------------------
+        # MCMC with XLA's default (bf16-pass) matmuls — valid only where the
+        # posterior tolerates the Hamiltonian noise; see HMCConfig.precision.
+        jax_hmc_fastmm = bench_jax_hmc(precision="default")
+        print(
+            f"jax hmc leapfrog (opt-in default-precision matmuls): "
+            f"{jax_hmc_fastmm:.1f} steps/s",
+            file=sys.stderr,
+        )
         os.environ["ROBUSTBNNS_BF16"] = "1"  # perf mode: bf16 MXU matmuls
         jax_pgd_bf16 = bench_jax_pgd()
         os.environ.pop("ROBUSTBNNS_BF16", None)
@@ -583,6 +607,7 @@ def main():
                     "mfu_peak_flops": PEAK_FLOPS,
                     # Labeled opt-in fast paths (NOT the framework defaults):
                     "optin_bf16_pgd_images_per_sec": round(jax_pgd_bf16, 2),
+                    "optin_fast_matmul_hmc_steps_per_sec": round(jax_hmc_fastmm, 2),
                     "optin_bf16_trainacc_faithful_steps_per_sec": round(
                         jax_svi_faithful_bf16acc, 2
                     ),
