@@ -24,6 +24,7 @@ Honesty rules (VERDICT r2 weak #2 / missing #3):
   the real pipeline. See BASELINE.md.
 """
 import json
+import math
 import os
 import sys
 import time
@@ -588,7 +589,11 @@ def main():
                     "bayesian_pgd100_images_per_sec": round(jax_pgd_100, 2),
                     "pgd100_vs_torch_cpu": round(jax_pgd_100 / t_pgd_100, 2),
                     "nuts_gradient_evals_per_sec": round(jax_nuts, 2),
-                    "nuts_vs_torch_cpu": round(jax_nuts / t_nuts, 2),
+                    # null (not NaN — strict-JSON) when the torch baseline failed
+                    "nuts_vs_torch_cpu": (
+                        None if math.isnan(t_nuts)
+                        else round(jax_nuts / t_nuts, 2)
+                    ),
                     # Achieved FLOP/s and MFU vs the v5e bf16 peak (197
                     # TFLOP/s); FLOP counts from XLA's cost model. Headline
                     # paths are f32, which caps their reachable MFU.

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import warnings
 from typing import Optional, Tuple
 
 import numpy as np
@@ -205,8 +206,22 @@ def _load_mnist_like(dataset_name: str, npz_names: list[str], fallback: str):
     # keras ships Fashion-MNIST (and LeCun ships MNIST) as IDX quads, not npz —
     # accept the files exactly as downloaded (e.g. under
     # ~/.keras/datasets/fashion-mnist/ or $ROBUSTBNNS_DATASET_DIR).
+    # Dataset-named subdirs first: MNIST and Fashion-MNIST IDX distributions
+    # share canonical file names, so a quad sitting flat in a search root is
+    # dataset-ambiguous — try it only last, with a warning.
     idx_subdir = {"mnist": "mnist", "fashion_mnist": "fashion-mnist"}[dataset_name]
-    quad = _search_idx_quad(["", idx_subdir, dataset_name])
+    quad = _search_idx_quad([idx_subdir, dataset_name])
+    if quad is None:
+        quad = _search_idx_quad([""])
+        if quad is not None:
+            warnings.warn(
+                f"Serving {dataset_name} from an IDX quad found flat in a "
+                f"search root ({os.path.dirname(quad['x_train'])}): MNIST and "
+                f"Fashion-MNIST use identical IDX file names, so flat-root "
+                f"quads are dataset-ambiguous — place them under a "
+                f"'{idx_subdir}/' subdir to disambiguate.",
+                stacklevel=2,
+            )
     if quad is not None:
         return (
             (_read_idx(quad["x_train"]), _read_idx(quad["y_train"])),

@@ -405,18 +405,25 @@ def run_windowed_warmup(
     adapt_mass = config.adapt_mass_matrix and warmup > 0
     C = chunk_size or max(warmup, config.num_samples, 1)
 
-    def phase(carry, length, welford_on):
+    def phase(carry, length, welford_on, it_start=0):
+        # ``it_start`` keeps the dual-averaging iteration counter continuous
+        # across the init buffer and mass window (Stan's behavior) — resetting
+        # it mid-adaptation would snap log_eps back toward mu and reweight the
+        # Robbins-Monro averages. It restarts at 0 only after the mass switch,
+        # where the dual-averaging state is legitimately re-initialized.
         it = 0
         while it < length:
             n = min(C, length - it)
-            carry = warmup_chunk(carry, jnp.asarray(it, jnp.int32), n, welford_on)
+            carry = warmup_chunk(
+                carry, jnp.asarray(it_start + it, jnp.int32), n, welford_on
+            )
             it += n
         return carry
 
     w1, w2, w3 = warmup_phase_lengths(warmup, adapt_eps, adapt_mass)
     carry = phase(warm_carry, w1, False)
     if adapt_mass:
-        carry = phase(carry, w2, True)
+        carry = phase(carry, w2, True, it_start=w1)
         q, k, da, wf, _ = carry
         k, k_ms = jax.random.split(k)
         da, inv_mass = mass_switch(q, k_ms, da, wf)
@@ -504,8 +511,8 @@ def hmc_sample(
     if chunk_size is None and os.environ.get("ROBUSTBNNS_HMC_CHUNK"):
         chunk_size = int(os.environ["ROBUSTBNNS_HMC_CHUNK"])
     if chunk_size is not None and chunk_size < 1:
-        # chunk_size=0 would make the chunked driver loop forever (n = min(0,
-        # remaining) never advances) — fail loudly instead.
+        # 0 is falsy, so the chunked driver would silently treat it as "no
+        # chunking" (C = chunk_size or ...) — reject the ambiguity loudly.
         raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
     if data is None:
         # Cache the nullary shim ON the function so the jit cache still hits

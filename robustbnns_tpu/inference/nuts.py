@@ -471,8 +471,10 @@ def nuts_sample(
 
     if chunk_size is None and os.environ.get("ROBUSTBNNS_NUTS_CHUNK"):
         chunk_size = int(os.environ["ROBUSTBNNS_NUTS_CHUNK"])
-    if chunk_size is not None and chunk_size < 0:
-        raise ValueError(f"chunk_size must be >= 0, got {chunk_size}")
+    if chunk_size is not None and chunk_size < 1:
+        # 0 is falsy, so the chunked driver would silently treat it as "no
+        # chunking" (C = chunk_size or ...) — reject it like hmc_sample does.
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
     if data is None:
         if not hasattr(potential_fn, "_rbnn_nullary"):
             fn = potential_fn

@@ -221,9 +221,12 @@ def load_meta(path: str) -> dict:
         if os.path.isdir(d):
             args = _orbax_args()
             ckptr = _get_async_checkpointer()
-            return ckptr.restore(d, args=args.Composite(meta=args.JsonRestore()))[
-                "meta"
-            ] or {}
+            try:
+                return ckptr.restore(
+                    d, args=args.Composite(meta=args.JsonRestore())
+                )["meta"] or {}
+            except Exception:
+                pass  # legacy (pre round-3) dir without a "meta" item — try sidecar
         meta_path = d + ".meta.json"  # legacy sidecar (pre round-3 format)
         if os.path.exists(meta_path):
             with open(meta_path) as f:

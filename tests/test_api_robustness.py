@@ -161,6 +161,7 @@ def test_nuts_negative_chunk_rejected():
     from robustbnns_tpu.inference.nuts import NUTSConfig, nuts_sample
 
     cfg = NUTSConfig(num_samples=2, warmup=1)
-    with pytest.raises(ValueError, match="chunk_size"):
-        nuts_sample(lambda q: 0.5 * jnp.sum(q * q), jnp.zeros(3),
-                    jax.random.key(0), cfg, chunk_size=-1)
+    for bad in (-1, 0):  # 0 is falsy — would silently mean "no chunking"
+        with pytest.raises(ValueError, match="chunk_size"):
+            nuts_sample(lambda q: 0.5 * jnp.sum(q * q), jnp.zeros(3),
+                        jax.random.key(0), cfg, chunk_size=bad)

@@ -110,6 +110,24 @@ def test_no_surrogate_tag_without_synthetic_data(tree, tmp_path, monkeypatch):
     assert "surrogate_version" not in load_meta(str(tmp_path / "real"))
 
 
+def test_legacy_orbax_meta_sidecar(tree, tmp_path):
+    """A pre-round-3 orbax checkpoint (bare StandardCheckpointHandler dir +
+    ``.meta.json`` sidecar) has no "meta" Composite item; load_meta must fall
+    back to the sidecar instead of raising (ADVICE r3 #1)."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    d = str(tmp_path / "legacy.orbax")
+    host_tree = jax.tree_util.tree_map(np.asarray, tree)
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+        ckptr.save(d, args=ocp.args.StandardSave(host_tree))
+    with open(d + ".meta.json", "w") as f:
+        json.dump({"epochs": 3}, f)
+    assert load_meta(str(tmp_path / "legacy")) == {"epochs": 3}
+    _assert_tree_equal(load_pytree(tree, str(tmp_path / "legacy")), tree)
+
+
 def test_npz_takes_precedence_when_both_exist(tree, tmp_path):
     """If an npz and an orbax dir share a logical path, npz (the default
     format) wins on load — saves under the default backend stay canonical."""

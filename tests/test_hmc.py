@@ -264,6 +264,39 @@ def test_mass_switch_degenerate_guard_and_reanchor():
     np.testing.assert_allclose(np.asarray(inv_mass2), expected, rtol=1e-5)
 
 
+def test_warmup_dual_averaging_counter_continuous_across_window():
+    """Stan keeps one continuous dual-averaging iteration counter across the
+    init buffer and mass window, restarting only at the metric update — a
+    phase-local reset would transiently snap log_eps back toward mu
+    (ADVICE r3 #3). Checked via the it0 values the driver hands each chunk."""
+    from robustbnns_tpu.inference.hmc import HMCConfig, run_windowed_warmup
+
+    seen = []
+
+    def warmup_chunk(carry, it0, n, welford_on):
+        seen.append((int(it0), n, welford_on))
+        return carry
+
+    def mass_switch(q, k_ms, da, wf):
+        seen.append("mass_switch")
+        return da, jnp.ones_like(q)
+
+    q = jnp.zeros((3,))
+    da = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+    wf = (q, q, 0.0)
+    carry0 = (q, jax.random.key(0), da, wf, jnp.ones((3,)))
+    cfg = HMCConfig(num_samples=1, warmup=8, step_size=0.1)
+    run_windowed_warmup(warmup_chunk, mass_switch, carry0, cfg, chunk_size=3)
+    # phases: w1=2, w2=4, w3=2 — counter continuous 0..5 across A->B,
+    # restarting at 0 only after the mass switch.
+    assert seen == [
+        (0, 2, False),          # phase A (it 0-1)
+        (2, 3, True), (5, 1, True),  # phase B continues the counter (it 2-5)
+        "mass_switch",
+        (0, 2, False),          # phase C restarts with the fresh DA state
+    ]
+
+
 def test_windowed_warmup_phase_lengths():
     from robustbnns_tpu.inference.hmc import warmup_phase_lengths
 

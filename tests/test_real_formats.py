@@ -119,6 +119,41 @@ def test_fashion_idx_ingestion(fashion_idx_dir, monkeypatch):
     np.testing.assert_array_equal(np.argmax(ys, -1), y_test)
 
 
+def test_flat_root_idx_quad_is_last_resort_and_warns(tmp_path, monkeypatch):
+    """MNIST and Fashion-MNIST IDX distributions share canonical file names,
+    so a quad flat in a search root is dataset-ambiguous: it must only be
+    served when no dataset-named subdir matches, and with a warning
+    (ADVICE r3 #4)."""
+    x_train, y_train = _images(16), _labels(16)
+    x_test, y_test = _images(4), _labels(4)
+    for name, arr in [
+        ("train-images-idx3-ubyte", x_train),
+        ("train-labels-idx1-ubyte", y_train),
+        ("t10k-images-idx3-ubyte", x_test),
+        ("t10k-labels-idx1-ubyte", y_test),
+    ]:
+        _write_idx(tmp_path / name, arr, compress=False)
+    monkeypatch.setenv("ROBUSTBNNS_DATASET_DIR", str(tmp_path))
+    with pytest.warns(UserWarning, match="dataset-ambiguous"):
+        xt, *_ = load_fashion_mnist(fallback="error")
+    np.testing.assert_allclose(xt[..., 0], x_train.astype(np.float32) / 255.0)
+
+    # A dataset-named subdir wins over the flat root, silently.
+    sub = tmp_path / "fashion-mnist"
+    sub.mkdir()
+    x2 = _images(8)
+    _write_idx(sub / "train-images-idx3-ubyte", x2, compress=False)
+    _write_idx(sub / "train-labels-idx1-ubyte", _labels(8), compress=False)
+    _write_idx(sub / "t10k-images-idx3-ubyte", x_test, compress=False)
+    _write_idx(sub / "t10k-labels-idx1-ubyte", y_test, compress=False)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        xt2, *_ = load_fashion_mnist(fallback="error")
+    assert xt2.shape[0] == 8
+
+
 def test_idx_reader_rejects_bad_magic(tmp_path):
     from robustbnns_tpu.data.datasets import _read_idx
 
