@@ -113,10 +113,16 @@ def bench_jax_svi(
     rate = n_steps_timed / (time.perf_counter() - t0)
     if not with_flops:
         return rate
+    # FLOPs of ONE step: cost a single-batch epoch (scan of length 1). XLA's
+    # cost model counts a scan body ONCE regardless of trip count (verified:
+    # scripts/roofline.py scan_trip_count), so costing the full epoch and
+    # dividing by n_steps under-reports by the trip count — BENCH_r03's
+    # svi_mfu=0.05% was exactly that bug (actual ~300x higher).
     flops_per_step = _cost_flops(
         _svi_epoch, arch.apply, optimizer, batch_size, train_acc_samples,
-        posterior, opt_state, x, y, jax.random.fold_in(make_key(0), 0),
-    ) / n_steps_timed
+        posterior, opt_state, x[:batch_size], y[:batch_size],
+        jax.random.fold_in(make_key(0), 0),
+    )
     return rate, flops_per_step
 
 
@@ -244,10 +250,18 @@ def bench_jax_pgd(
     from robustbnns_tpu.predict import normalize_forward
 
     alpha = jnp.full((batch_size,) + (1,) * 3, 2.0, jnp.float32)
-    flops_per_image = _cost_flops(
-        _pgd_batch, normalize_forward(forward), 40, x[:batch_size],
-        y[:batch_size], 0.3, alpha, make_key(0),
-    ) / batch_size
+    # Cost ONE iteration (scan of length 1) and scale by the 40 the attack
+    # actually runs: XLA's cost model counts a scan body once regardless of
+    # trip count (scripts/roofline.py scan_trip_count), so costing iters=40
+    # yields one body and BENCH_r03's pgd_mfu under-reported 40x.
+    flops_per_image = (
+        _cost_flops(
+            _pgd_batch, normalize_forward(forward), 1, x[:batch_size],
+            y[:batch_size], 0.3, alpha, make_key(0),
+        )
+        * 40
+        / batch_size
+    )
     return rate, flops_per_image
 
 

@@ -27,6 +27,7 @@ benchmarks run anywhere; real-data runs should pass ``fallback='error'``.
 """
 from __future__ import annotations
 
+import functools
 import os
 import pickle
 import warnings
@@ -250,8 +251,15 @@ def _load_mnist_like(dataset_name: str, npz_names: list[str], fallback: str):
     )
 
 
+@functools.lru_cache(maxsize=4)
 def _synthetic_image_dataset(name, rows, cols, chans, n_train, n_test):
     """Deterministic learnable surrogate: per-class smooth prototypes + noise.
+
+    Process-cached: generating 60k prototype+noise images costs seconds on a
+    1-vCPU host, and sweep drivers (and the test suite) call ``load_dataset``
+    repeatedly; the generator is pure in its arguments, so caching preserves
+    the deterministic output exactly. Downstream never mutates the returned
+    uint8 arrays in place (``_finish_image_dataset`` copies via ``astype``).
 
     Shapes, dtypes (uint8 in [0,255]) and label format match the real download
     so every downstream stage behaves identically. Not the real data — flagged
