@@ -251,14 +251,36 @@ def _load_mnist_like(dataset_name: str, npz_names: list[str], fallback: str):
     )
 
 
+def _synth_cache_dir() -> str:
+    """Cross-process cache dir for generated surrogates ('' disables).
+
+    The generator is pure in its arguments and single-threaded numpy, so the
+    first process to need a surrogate writes the exact bytes every other
+    process would generate; CLI subprocess tests and sweep drivers then load
+    a ~50-150 MB npz (~1-3 s) instead of regenerating 60k images (minutes
+    under 1-vCPU contention). Set ``ROBUSTBNNS_SYNTH_CACHE=0`` to disable,
+    or to a directory to relocate.
+    """
+    v = os.environ.get("ROBUSTBNNS_SYNTH_CACHE")
+    if v == "0":
+        return ""
+    if v:
+        return v
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "robustbnns_tpu", "synthetic"
+    )
+
+
 @functools.lru_cache(maxsize=4)
 def _synthetic_image_dataset(name, rows, cols, chans, n_train, n_test):
     """Deterministic learnable surrogate: per-class smooth prototypes + noise.
 
-    Process-cached: generating 60k prototype+noise images costs seconds on a
-    1-vCPU host, and sweep drivers (and the test suite) call ``load_dataset``
-    repeatedly; the generator is pure in its arguments, so caching preserves
-    the deterministic output exactly. Downstream never mutates the returned
+    Process-cached (lru) AND disk-cached (atomic npz under
+    ``_synth_cache_dir``): generating 60k prototype+noise images costs
+    seconds on a 1-vCPU host — minutes under contention — and sweep drivers,
+    CLI subprocesses, and the test suite call ``load_dataset`` repeatedly;
+    the generator is pure in its arguments, so caching preserves the
+    deterministic output exactly. Downstream never mutates the returned
     uint8 arrays in place (``_finish_image_dataset`` copies via ``astype``).
 
     Shapes, dtypes (uint8 in [0,255]) and label format match the real download
@@ -266,6 +288,22 @@ def _synthetic_image_dataset(name, rows, cols, chans, n_train, n_test):
     by loaders for honest reporting.
     """
     _surrogate_served.add(name)
+    cache_dir = _synth_cache_dir()
+    cache_path = (
+        os.path.join(
+            cache_dir,
+            f"{name}_{rows}x{cols}x{chans}_tr{n_train}_te{n_test}.npz",
+        )
+        if cache_dir
+        else ""
+    )
+    if cache_path and os.path.exists(cache_path):
+        try:
+            with np.load(cache_path) as z:
+                return (z["xtr"], z["ytr"]), (z["xte"], z["yte"])
+        except Exception as e:  # corrupt/partial file: regenerate + rewrite
+            warnings.warn(f"synthetic cache unreadable ({e}); regenerating")
+
     # Stable digest, NOT hash(): str hashes are salted per process, which
     # silently desynchronized the surrogate between a training process and a
     # later evaluation process (loaded checkpoints scored ~chance on "the
@@ -310,7 +348,21 @@ def _synthetic_image_dataset(name, rows, cols, chans, n_train, n_test):
             x = np.repeat(x[..., None], chans, axis=-1)
         return x, labels.astype(np.uint8)
 
-    return make(n_train, 1234), make(n_test, 5678)
+    train, test = make(n_train, 1234), make(n_test, 5678)
+    if cache_path:
+        try:  # atomic publish: concurrent writers race benignly (same bytes)
+            os.makedirs(cache_dir, exist_ok=True)
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".npz.tmp")
+            with os.fdopen(fd, "wb") as f:
+                np.savez(
+                    f, xtr=train[0], ytr=train[1], xte=test[0], yte=test[1]
+                )
+            os.replace(tmp, cache_path)
+        except Exception as e:  # read-only FS etc. — cache is best-effort
+            warnings.warn(f"synthetic cache write failed ({e})")
+    return train, test
 
 
 def load_mnist(channels: str = "last", fallback: str = "error") -> Arrays:

@@ -103,10 +103,13 @@ def test_classwise_arrays():
         assert np.all(yc.argmax(-1) == yc[0].argmax(-1))
 
 
-def test_synthetic_dataset_identical_across_processes(tmp_path):
+def test_synthetic_dataset_identical_across_processes(tmp_path, monkeypatch):
     """The synthetic surrogate must be byte-identical in every process —
     Python's salted str hash() once desynchronized it, making checkpoints
-    trained in one process score ~chance when evaluated in another."""
+    trained in one process score ~chance when evaluated in another.
+    Cache disabled in BOTH processes: a shared disk cache would mask a
+    generator desync."""
+    import os
     import subprocess
     import sys
 
@@ -114,6 +117,8 @@ def test_synthetic_dataset_identical_across_processes(tmp_path):
 
     from robustbnns_tpu.data.datasets import _synthetic_image_dataset
 
+    monkeypatch.setenv("ROBUSTBNNS_SYNTH_CACHE", "0")
+    _synthetic_image_dataset.cache_clear()
     (x_train, y_train), _ = _synthetic_image_dataset("mnist", 28, 28, 1, 64, 16)
     out = tmp_path / "sub.npz"
     code = (
@@ -122,10 +127,37 @@ def test_synthetic_dataset_identical_across_processes(tmp_path):
         "(x, y), _ = _synthetic_image_dataset('mnist', 28, 28, 1, 64, 16)\n"
         f"np.savez('{out}', x=x, y=y)\n"
     )
-    import os
-
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    subprocess.run([sys.executable, "-c", code], check=True, cwd=repo)
+    env = dict(os.environ, ROBUSTBNNS_SYNTH_CACHE="0")
+    subprocess.run([sys.executable, "-c", code], check=True, cwd=repo, env=env)
     with np.load(out) as f:
         np.testing.assert_array_equal(f["x"], x_train)
         np.testing.assert_array_equal(f["y"], y_train)
+
+
+def test_synthetic_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """Disk-cached surrogate bytes are identical to generated ones, the
+    cache file is created atomically, and a corrupt cache regenerates."""
+    from robustbnns_tpu.data.datasets import _synthetic_image_dataset
+
+    monkeypatch.setenv("ROBUSTBNNS_SYNTH_CACHE", str(tmp_path))
+    _synthetic_image_dataset.cache_clear()
+    (xa, ya), (xta, yta) = _synthetic_image_dataset("mnist", 28, 28, 1, 48, 12)
+    cache = tmp_path / "mnist_28x28x1_tr48_te12.npz"
+    assert cache.exists()
+    assert not list(tmp_path.glob("*.tmp"))
+
+    _synthetic_image_dataset.cache_clear()  # force the disk-read path
+    (xb, yb), (xtb, ytb) = _synthetic_image_dataset("mnist", 28, 28, 1, 48, 12)
+    np.testing.assert_array_equal(xa, xb)
+    np.testing.assert_array_equal(ya, yb)
+    np.testing.assert_array_equal(xta, xtb)
+    np.testing.assert_array_equal(yta, ytb)
+
+    cache.write_bytes(b"not an npz")  # corrupt -> warn + regenerate + rewrite
+    _synthetic_image_dataset.cache_clear()
+    with pytest.warns(UserWarning, match="cache unreadable"):
+        (xc, yc), _ = _synthetic_image_dataset("mnist", 28, 28, 1, 48, 12)
+    np.testing.assert_array_equal(xa, xc)
+    np.testing.assert_array_equal(ya, yc)
+    assert cache.stat().st_size > 100  # rewritten with real contents
