@@ -24,7 +24,6 @@ import sys
 import numpy as np
 import pandas as pd
 
-CSV = sys.argv[1] if len(sys.argv) > 1 else "data/grid3_summary.csv"
 WIDTHS = [32, 128, 256, 512]
 
 
@@ -46,7 +45,8 @@ def monotonicity(sub: pd.DataFrame, col: str) -> tuple[int, int, int]:
 
 
 def main():
-    df = pd.read_csv(CSV)
+    csv = sys.argv[1] if len(sys.argv) > 1 else "data/grid3_summary.csv"
+    df = pd.read_csv(csv)
     print(f"rows: {len(df)} ({dict(df['variant'].value_counts())})\n")
 
     for variant in ("faithful", "full", "nuts"):

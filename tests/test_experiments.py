@@ -202,3 +202,51 @@ def test_overparam_scatter(tmp_path):
     )
     png = overparam_scatterplot(df, [16, 32], 50, plots_dir=str(tmp_path))
     assert os.path.exists(png)
+
+
+def test_overparam_report_monotonicity_and_tables(tmp_path, capsys):
+    """scripts/overparam_report.py is the cited basis for the PERFORMANCE.md
+    overparametrization conclusion — pin its family-wise monotonicity logic
+    and table emission on a synthetic CSV with known trends."""
+    import importlib.util
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "overparam_report", os.path.join(repo, "scripts", "overparam_report.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rows = []
+    for variant, slope in (("nuts", -1.0), ("full", +1.0)):
+        for w in (100, 200):
+            for n in (5000, 10000):
+                for i, h in enumerate((32, 128, 256, 512)):
+                    rows.append(dict(
+                        variant=variant, hidden_size=h, warmup=w, n_inputs=n,
+                        grad_absmean_x=0.5 + slope * 0.1 * i,
+                        grad_absmean_y=0.5 + slope * 0.1 * i,
+                        sample_spread=1.0, distinct_draws=250, test_acc=100.0,
+                    ))
+    df = pd.DataFrame(rows)
+
+    dec, inc, tot = mod.monotonicity(df[df.variant == "nuts"], "grad_absmean_x")
+    assert (dec, inc, tot) == (4, 0, 4)
+    dec, inc, tot = mod.monotonicity(df[df.variant == "full"], "grad_absmean_x")
+    assert (dec, inc, tot) == (0, 4, 4)
+    # incomplete families (missing a width) are excluded, not miscounted
+    part = df[(df.variant == "nuts") & (df.hidden_size != 512)]
+    assert mod.monotonicity(part, "grad_absmean_x") == (0, 0, 0)
+
+    csv = tmp_path / "grid.csv"
+    df.to_csv(csv, index=False)
+    argv, sys.argv = sys.argv, ["overparam_report.py", str(csv)]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "### nuts" in out and "### full" in out
+    assert "512-vs-32 gradient ratio: x 0.40" in out  # 0.2/0.5
+    assert "4/4 strictly decreasing" in out
