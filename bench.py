@@ -479,34 +479,49 @@ def main():
     def mfu(rate, flops_per_unit):
         return rate * flops_per_unit / PEAK_FLOPS
 
+    # Chip-share timing variance is ±10-20% (CLAUDE.md): report the JAX
+    # default-path metrics as medians of REPEATS runs. Executables are
+    # jit-cached after the first call, so repeats cost only the timed
+    # windows (seconds). NUTS stays single-run — its window alone is
+    # minutes and the vs-torch ratio is orders of magnitude.
+    repeats = int(os.environ.get("ROBUSTBNNS_BENCH_REPEATS", "3"))
+
+    def jmed(fn, **kw):
+        rate, flops = fn(with_flops=True, **kw)
+        rates = [rate] + [fn(**kw) for _ in range(repeats - 1)]
+        return float(np.median(rates)), flops
+
     with ctx:
         # ---- framework-default paths (threefry PRNG, f32 matmuls) ----------
-        jax_svi, svi_flops = bench_jax_svi(with_flops=True)
+        jax_svi, svi_flops = jmed(bench_jax_svi)
         print(
             f"jax svi: {jax_svi:.1f} steps/s "
             f"({mfu(jax_svi, svi_flops) * 100:.1f}% MFU)",
             file=sys.stderr,
         )
-        jax_svi_faithful = bench_jax_svi(train_acc_samples=10)
+        jax_svi_faithful = float(np.median(
+            [bench_jax_svi(train_acc_samples=10) for _ in range(repeats)]
+        ))
         print(
             f"jax svi faithful (10-sample train acc/batch): "
             f"{jax_svi_faithful:.1f} steps/s",
             file=sys.stderr,
         )
-        jax_hmc, hmc_flops = bench_jax_hmc(with_flops=True)
+        jax_hmc, hmc_flops = jmed(bench_jax_hmc)
         print(
             f"jax hmc leapfrog: {jax_hmc:.1f} steps/s "
             f"({mfu(jax_hmc, hmc_flops) * 100:.1f}% MFU)",
             file=sys.stderr,
         )
-        jax_pgd, pgd_flops = bench_jax_pgd(with_flops=True)
+        jax_pgd, pgd_flops = jmed(bench_jax_pgd)
         print(
             f"jax bayesian pgd (S=10): {jax_pgd:.1f} imgs/s "
             f"({mfu(jax_pgd, pgd_flops) * 100:.1f}% MFU)",
             file=sys.stderr,
         )
-        jax_pgd_100, pgd100_flops = bench_jax_pgd(
-            n_images=4096, batch_size=2048, n_attack_samples=100, with_flops=True
+        jax_pgd_100, pgd100_flops = jmed(
+            bench_jax_pgd,
+            n_images=4096, batch_size=2048, n_attack_samples=100,
         )
         print(
             f"jax bayesian pgd (S=100): {jax_pgd_100:.1f} imgs/s "
