@@ -390,6 +390,30 @@ def warmup_phase_lengths(warmup, adapt_step_size, adapt_mass_matrix):
     return w1, warmup - w1, 0
 
 
+def _heartbeat(tag, done, total, sync_leaf):
+    """Env-gated per-chunk progress line for long chained dispatches.
+
+    ``ROBUSTBNNS_MCMC_HEARTBEAT=1`` prints one stderr line per chunk, synced
+    via a scalar host transfer of ``sum(sync_leaf)`` (``block_until_ready``
+    is unreliable on the remote-TPU backend), so stall-guarded sweep runners
+    (``scripts/stall_guard.sh``) can tell a healthy long cell apart from a
+    dispatch wedged in the tunnel. Off by default: the sync point serializes
+    chunk dispatch, which only matters when chunks are tiny.
+    """
+    import os
+    import sys
+    import time
+
+    if os.environ.get("ROBUSTBNNS_MCMC_HEARTBEAT") != "1":
+        return
+    val = float(jnp.sum(sync_leaf))
+    print(
+        f"[mcmc {time.strftime('%H:%M:%S')}] {tag} {done}/{total}"
+        f" sync={val:.3e}",
+        file=sys.stderr, flush=True,
+    )
+
+
 def run_windowed_warmup(
     warmup_chunk, mass_switch, warm_carry, config, chunk_size
 ):
@@ -418,6 +442,7 @@ def run_windowed_warmup(
                 carry, jnp.asarray(it_start + it, jnp.int32), n, welford_on
             )
             it += n
+            _heartbeat("warmup", it_start + it, warmup, carry[0])
         return carry
 
     w1, w2, w3 = warmup_phase_lengths(warmup, adapt_eps, adapt_mass)
@@ -474,6 +499,7 @@ def _run_hmc_chain_chunked(raw_fn, data, init_q, key, config, chunk_size):
         )
         chunks.append(outs)
         done += n
+        _heartbeat("hmc-sample", done, num_samples, carry[0])
 
     samples, accept_probs = (
         jnp.concatenate([c[i] for c in chunks]) for i in range(2)

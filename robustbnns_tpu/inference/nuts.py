@@ -49,6 +49,7 @@ import jax.numpy as jnp
 from robustbnns_tpu.inference.hmc import (
     _dual_averaging_update,
     _find_reasonable_step_size,
+    _heartbeat,
     _kinetic,
     _mass_switch,
     run_windowed_warmup,
@@ -442,6 +443,7 @@ def _run_chain_chunked(raw_fn, data, init_q, key, config, chunk_size):
         )
         chunks.append(outs)
         done += n
+        _heartbeat("nuts-sample", done, num_samples, carry[0])
 
     samples, accept_stats, n_lfs, divs = (
         jnp.concatenate([c[i] for c in chunks]) for i in range(4)

@@ -36,6 +36,9 @@ os.environ.setdefault("ROBUSTBNNS_DATA_FALLBACK", "synthetic")
 # small (<=265k params, <=15k inputs), so chunks can be generous.
 os.environ.setdefault("ROBUSTBNNS_HMC_CHUNK", "100")
 os.environ.setdefault("ROBUSTBNNS_NUTS_CHUNK", "10")
+# Per-chunk stderr heartbeat so the stall-guarded runner (stall_guard.sh)
+# can tell a healthy 30+-minute h=512 NUTS cell from a wedged dispatch.
+os.environ.setdefault("ROBUSTBNNS_MCMC_HEARTBEAT", "1")
 
 import csv
 

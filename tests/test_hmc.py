@@ -316,3 +316,25 @@ def test_mcmc_defaults_full_precision():
 
     assert HMCConfig(num_samples=1, warmup=1).precision == "highest"
     assert NUTSConfig(num_samples=1, warmup=1).precision == "highest"
+
+
+def test_mcmc_heartbeat_emits_progress(monkeypatch, capsys):
+    """ROBUSTBNNS_MCMC_HEARTBEAT=1 prints one synced stderr line per chunk so
+    stall-guarded sweep runners (scripts/stall_guard.sh) can tell a healthy
+    long cell from a wedged remote dispatch; off by default (and must not
+    perturb the samples — same key stream, heartbeat is host-side only)."""
+    from robustbnns_tpu.inference.hmc import HMCConfig, hmc_sample
+
+    def potential(q):
+        return 0.5 * jnp.sum(q * q)
+
+    cfg = HMCConfig(num_samples=4, warmup=4, step_size=0.3)
+    q0 = jnp.full((3,), 1.0)
+    monkeypatch.delenv("ROBUSTBNNS_MCMC_HEARTBEAT", raising=False)
+    s_off, _ = hmc_sample(potential, q0, jax.random.key(3), cfg, chunk_size=2)
+    assert "[mcmc" not in capsys.readouterr().err
+    monkeypatch.setenv("ROBUSTBNNS_MCMC_HEARTBEAT", "1")
+    s_on, _ = hmc_sample(potential, q0, jax.random.key(3), cfg, chunk_size=2)
+    err = capsys.readouterr().err
+    assert err.count("warmup") >= 2 and err.count("hmc-sample") == 2
+    np.testing.assert_array_equal(np.asarray(s_off), np.asarray(s_on))
