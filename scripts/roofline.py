@@ -163,8 +163,15 @@ def dispatch_floor():
 
 
 def svi_batch_sweep():
+    if QUICK:
+        # XLA:CPU takes >10 min just to compile the conv-512 scanned epoch on
+        # this 1-vCPU box; the section is a thin sweep over bench_jax_svi
+        # (exercised on TPU by every bench run), so QUICK skips it.
+        print("svi: skipped under --quick", flush=True)
+        RESULTS["svi_batch_sweep"] = "skipped (quick)"
+        return
     rows = []
-    budget = 512 if QUICK else 38400
+    budget = 38400
     for batch in (128, 512, 2048):
         n_steps = max(1, budget // batch)  # constant image budget
         rate = median3(
