@@ -48,15 +48,17 @@ def main():
         )
 
     sweep = R.get("svi_batch_sweep")
-    if isinstance(sweep, list):
+    if isinstance(sweep, list) and sweep:
+        base_row = min(sweep, key=lambda r: r["batch"])
+        base = base_row["imgs_per_sec"]
         print("### SVI batch sweep (constant image budget)\n")
-        print("| batch | ELBO steps/s | images/s | vs batch-128 images/s |")
+        print(f"| batch | ELBO steps/s | images/s | vs batch-{base_row['batch']} images/s |")
         print("|---|---|---|---|")
-        base = sweep[0]["imgs_per_sec"]
         for row in sweep:
+            rel = f"{row['imgs_per_sec'] / base:.2f}x" if base else "n/a"
             print(
                 f"| {row['batch']} | {row['steps_per_sec']:.0f} | "
-                f"{row['imgs_per_sec']:.0f} | {row['imgs_per_sec'] / base:.2f}x |"
+                f"{row['imgs_per_sec']:.0f} | {rel} |"
             )
         print()
 
