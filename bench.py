@@ -465,10 +465,104 @@ def bench_torch_pgd(n_images: int = 2, n_samples: int = 10, iters: int = 40) -> 
     return n_images / (time.perf_counter() - t0)
 
 
+BASELINE_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "bench_baselines.json"
+)
+_BASELINE_KEYS = ("svi", "svi_faithful", "hmc", "pgd", "pgd100", "nuts_grad")
+
+
+def compute_torch_baselines() -> dict:
+    """Measure the six torch-CPU reference proxies (median of 3 each)."""
+
+    def median3(fn, *a, **kw):
+        vals = []
+        for _ in range(3):
+            try:
+                vals.append(fn(*a, **kw))
+            except Exception as e:
+                print(f"baseline {fn.__name__} failed: {e}", file=sys.stderr)
+                return float("nan")
+        return float(np.median(vals))
+
+    out = {
+        "svi": median3(bench_torch_svi),
+        "svi_faithful": median3(bench_torch_svi, train_acc_samples=10),
+        "hmc": median3(bench_torch_hmc),
+        "pgd": median3(bench_torch_pgd),
+        "pgd100": median3(bench_torch_pgd, n_images=1, n_samples=100),
+    }
+    try:
+        # Single run — one full-batch 60k gradient eval takes ~0.5-1 min on
+        # this 1-vCPU box; the ratio is orders of magnitude, noise immaterial.
+        out["nuts_grad"] = bench_torch_hmc(batch=60000, n_leapfrog=1)
+    except Exception as e:
+        print(f"baseline torch nuts-grad failed: {e}", file=sys.stderr)
+        out["nuts_grad"] = float("nan")
+    out["median_of"] = 3
+    out["computed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    return out
+
+
+def torch_baselines() -> tuple:
+    """Load the torch-CPU proxies from cache, computing them only on a miss.
+
+    The proxies are fixed-shape CPU workloads on a fixed machine — reruns add
+    nothing but tens of contended 1-vCPU minutes, which is exactly what
+    starved the round-4 driver capture of its JSON line (BENCH_r04
+    rc=124/parsed=null). First computation persists to
+    ``data/bench_baselines.json``; later runs reuse it. Delete the file or set
+    ``ROBUSTBNNS_BENCH_REFRESH_BASELINES=1`` to remeasure.
+
+    Returns ``(baselines_dict, cached: bool)``.
+    """
+    refresh = os.environ.get("ROBUSTBNNS_BENCH_REFRESH_BASELINES") == "1"
+    if not refresh and os.path.exists(BASELINE_CACHE):
+        try:
+            with open(BASELINE_CACHE) as f:
+                b = json.load(f)
+            missing = [
+                k for k in _BASELINE_KEYS
+                if not isinstance(b.get(k), (int, float)) or math.isnan(b[k])
+            ]
+            if not missing:
+                print(
+                    f"torch-cpu baselines: cached ({BASELINE_CACHE}, "
+                    f"computed {b.get('computed_at')})",
+                    file=sys.stderr,
+                )
+                return b, True
+            print(
+                f"baseline cache incomplete (missing {missing}); recomputing",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"baseline cache unreadable ({e}); recomputing", file=sys.stderr)
+    b = compute_torch_baselines()
+    try:
+        os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+        tmp = BASELINE_CACHE + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(b, f, indent=1)
+        os.replace(tmp, BASELINE_CACHE)
+        print(f"torch-cpu baselines: computed and cached to {BASELINE_CACHE}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"baseline cache write failed: {e}", file=sys.stderr)
+    return b, False
+
+
 def main():
     # ROBUSTBNNS_PROFILE=<dir>: wrap the JAX measurements in a jax.profiler
     # trace for TensorBoard/XProf inspection.
     import contextlib
+
+    if "--baselines-only" in sys.argv:
+        # Populate/refresh the cache without touching JAX (safe to run while
+        # a TPU job owns the tunnel — torch-CPU only).
+        os.environ["ROBUSTBNNS_BENCH_REFRESH_BASELINES"] = "1"
+        b, _ = torch_baselines()
+        print(json.dumps({"baselines": b}))
+        return
 
     trace_dir = os.environ.get("ROBUSTBNNS_PROFILE")
     ctx = contextlib.nullcontext()
@@ -569,29 +663,18 @@ def main():
             file=sys.stderr,
         )
 
-    def median3(fn, *a, **kw):
-        """Median of 3 repetitions — the 1-vCPU box is noisy."""
-        vals = []
-        for _ in range(3):
-            try:
-                vals.append(fn(*a, **kw))
-            except Exception as e:
-                print(f"baseline {fn.__name__} failed: {e}", file=sys.stderr)
-                return float("nan")
-        return float(np.median(vals))
+    baselines, baselines_cached = torch_baselines()
+    t_svi = baselines["svi"]
+    t_svi_faithful = baselines["svi_faithful"]
+    t_hmc = baselines["hmc"]
+    t_pgd = baselines["pgd"]
+    t_pgd_100 = baselines["pgd100"]
+    t_nuts = baselines["nuts_grad"]
 
-    t_svi = median3(bench_torch_svi)
-    t_svi_faithful = median3(bench_torch_svi, train_acc_samples=10)
-    t_hmc = median3(bench_torch_hmc)
-    t_pgd = median3(bench_torch_pgd)
-    t_pgd_100 = median3(bench_torch_pgd, n_images=1, n_samples=100)
-    try:
-        # Single run — one full-batch 60k gradient eval takes ~0.5-1 min on
-        # this 1-vCPU box; the ratio is orders of magnitude, noise immaterial.
-        t_nuts = bench_torch_hmc(batch=60000, n_leapfrog=1)
-    except Exception as e:
-        print(f"baseline torch nuts-grad failed: {e}", file=sys.stderr)
-        t_nuts = float("nan")
+    def ratio(num, den):
+        """None (strict-JSON null) when the torch baseline failed as NaN."""
+        return None if (math.isnan(den) or den == 0) else round(num / den, 2)
+
     print(
         f"torch-cpu medians: svi {t_svi:.3f} steps/s, faithful {t_svi_faithful:.3f}, "
         f"hmc {t_hmc:.2f} steps/s, pgd {t_pgd:.4f} imgs/s, "
@@ -605,24 +688,20 @@ def main():
                 "metric": "SVI ELBO steps/sec (MNIST model_0 conv-512, batch 128)",
                 "value": round(jax_svi, 2),
                 "unit": "steps/sec",
-                "vs_baseline": round(jax_svi / t_svi, 2),
+                "vs_baseline": ratio(jax_svi, t_svi),
                 "extras": {
                     "svi_faithful_steps_per_sec": round(jax_svi_faithful, 2),
-                    "svi_faithful_vs_torch_cpu": round(
-                        jax_svi_faithful / t_svi_faithful, 2
+                    "svi_faithful_vs_torch_cpu": ratio(
+                        jax_svi_faithful, t_svi_faithful
                     ),
                     "hmc_leapfrog_steps_per_sec": round(jax_hmc, 2),
-                    "hmc_vs_torch_cpu": round(jax_hmc / t_hmc, 2),
+                    "hmc_vs_torch_cpu": ratio(jax_hmc, t_hmc),
                     "bayesian_pgd_images_per_sec": round(jax_pgd, 2),
-                    "pgd_vs_torch_cpu": round(jax_pgd / t_pgd, 2),
+                    "pgd_vs_torch_cpu": ratio(jax_pgd, t_pgd),
                     "bayesian_pgd100_images_per_sec": round(jax_pgd_100, 2),
-                    "pgd100_vs_torch_cpu": round(jax_pgd_100 / t_pgd_100, 2),
+                    "pgd100_vs_torch_cpu": ratio(jax_pgd_100, t_pgd_100),
                     "nuts_gradient_evals_per_sec": round(jax_nuts, 2),
-                    # null (not NaN — strict-JSON) when the torch baseline failed
-                    "nuts_vs_torch_cpu": (
-                        None if math.isnan(t_nuts)
-                        else round(jax_nuts / t_nuts, 2)
-                    ),
+                    "nuts_vs_torch_cpu": ratio(jax_nuts, t_nuts),
                     # Achieved FLOP/s and MFU vs the v5e bf16 peak (197
                     # TFLOP/s); FLOP counts from XLA's cost model. Headline
                     # paths are f32, which caps their reachable MFU.
@@ -647,7 +726,9 @@ def main():
                     ),
                     "optin_fast_prng_svi_steps_per_sec": round(jax_svi_fast, 2),
                     "optin_fast_prng_pgd_images_per_sec": round(jax_pgd_fast, 2),
-                    "torch_baselines_median_of": 3,
+                    "torch_baselines_median_of": baselines.get("median_of", 3),
+                    "torch_baselines_cached": baselines_cached,
+                    "torch_baselines_computed_at": baselines.get("computed_at"),
                 },
             }
         )

@@ -45,6 +45,41 @@ from robustbnns_tpu.utils.pytree import flatten_tree_to_vector
 
 PRECISIONS = ["default", "high", "highest"]
 
+CKPT_PATH = os.path.join("tests_out" if QUICK else "data", "precision_study.json")
+STATE = {"stability": [], "throughput": []}
+
+
+def load_ckpt():
+    """Resume support: a wedged tunnel dispatch can kill the run mid-row
+    (CLAUDE.md); the queue's retry then re-measures only what's missing."""
+    if QUICK or not os.path.exists(CKPT_PATH):
+        return
+    try:
+        with open(CKPT_PATH) as f:
+            saved = json.load(f)
+        STATE["stability"] = saved.get("stability", [])
+        STATE["throughput"] = saved.get("throughput", [])
+        done = [(r["engine"], r["precision"])
+                for part in STATE.values() for r in part]
+        print(f"resuming from {CKPT_PATH}: {done}", flush=True)
+    except Exception as e:
+        print(f"checkpoint unreadable ({e}); starting fresh", flush=True)
+
+
+def checkpoint():
+    os.makedirs(os.path.dirname(CKPT_PATH), exist_ok=True)
+    tmp = CKPT_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(STATE, f, indent=1)
+    os.replace(tmp, CKPT_PATH)
+
+
+def have(part: str, engine: str, precision: str) -> bool:
+    return any(
+        r["engine"] == engine and r["precision"] == precision
+        for r in STATE[part]
+    )
+
 
 def sync(x) -> float:
     return float(jnp.sum(x))
@@ -94,38 +129,41 @@ def stability_repro():
     x = jnp.asarray(x_train)
     labels = jnp.argmax(jnp.asarray(y_train), axis=-1)
 
-    rows = []
     for precision in PRECISIONS:
-        cfg = HMCConfig(
-            num_samples=n_samp, warmup=warm, step_size=0.001, num_steps=10,
-            precision=precision,
-        )
-        t0 = time.perf_counter()
-        samples, info = hmc_sample(
-            potential, flat0, jax.random.key(1), cfg, data=(x, labels)
-        )
-        sync(samples)
-        row = dict(engine="hmc", precision=precision,
-                   wall_s=round(time.perf_counter() - t0, 1),
-                   **diagnostics(samples, info))
-        rows.append(row)
-        print(row, flush=True)
+        if not have("stability", "hmc", precision):
+            cfg = HMCConfig(
+                num_samples=n_samp, warmup=warm, step_size=0.001, num_steps=10,
+                precision=precision,
+            )
+            t0 = time.perf_counter()
+            samples, info = hmc_sample(
+                potential, flat0, jax.random.key(1), cfg, data=(x, labels)
+            )
+            sync(samples)
+            row = dict(engine="hmc", precision=precision,
+                       wall_s=round(time.perf_counter() - t0, 1),
+                       **diagnostics(samples, info))
+            STATE["stability"].append(row)
+            checkpoint()
+            print(row, flush=True)
 
-        ncfg = NUTSConfig(
-            num_samples=n_samp, warmup=warm, step_size=0.001,
-            max_depth=6 if QUICK else 10, precision=precision,
-        )
-        t0 = time.perf_counter()
-        samples, info = nuts_sample(
-            potential, flat0, jax.random.key(1), ncfg, data=(x, labels)
-        )
-        sync(samples)
-        row = dict(engine="nuts", precision=precision,
-                   wall_s=round(time.perf_counter() - t0, 1),
-                   **diagnostics(samples, info))
-        rows.append(row)
-        print(row, flush=True)
-    return rows
+        if not have("stability", "nuts", precision):
+            ncfg = NUTSConfig(
+                num_samples=n_samp, warmup=warm, step_size=0.001,
+                max_depth=6 if QUICK else 10, precision=precision,
+            )
+            t0 = time.perf_counter()
+            samples, info = nuts_sample(
+                potential, flat0, jax.random.key(1), ncfg, data=(x, labels)
+            )
+            sync(samples)
+            row = dict(engine="nuts", precision=precision,
+                       wall_s=round(time.perf_counter() - t0, 1),
+                       **diagnostics(samples, info))
+            STATE["stability"].append(row)
+            checkpoint()
+            print(row, flush=True)
+    return STATE["stability"]
 
 
 def throughput():
@@ -134,22 +172,24 @@ def throughput():
     from bench import bench_jax_hmc
 
     kw = dict(batch=64, n_samples=3) if QUICK else {}
-    rows = []
     for precision in PRECISIONS:
+        if have("throughput", "hmc-bench", precision):
+            continue
         vals = [bench_jax_hmc(precision=precision, **kw) for _ in range(3)]
-        rows.append(dict(engine="hmc-bench", precision=precision,
-                         steps_per_sec=float(np.median(vals)),
-                         runs=[round(v, 1) for v in vals]))
-        print(rows[-1], flush=True)
-    return rows
+        row = dict(engine="hmc-bench", precision=precision,
+                   steps_per_sec=float(np.median(vals)),
+                   runs=[round(v, 1) for v in vals])
+        STATE["throughput"].append(row)
+        checkpoint()
+        print(row, flush=True)
+    return STATE["throughput"]
 
 
 def main():
     t0 = time.time()
+    load_ckpt()
     out = dict(stability=stability_repro(), throughput=throughput())
-    os.makedirs("data", exist_ok=True)
-    with open(os.path.join("data", "precision_study.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    checkpoint()
     print(f"\nPRECISION STUDY total {time.time() - t0:.0f}s", flush=True)
 
     print("\n| engine | precision | eps | inv_mass[min,med,max] | accept | spread | wall_s |")

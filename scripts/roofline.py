@@ -305,17 +305,50 @@ SECTIONS = {
 }
 
 
+# Which RESULTS keys each section fills — used for restart-safe skipping.
+SECTION_KEYS = {
+    "cost": ("cost_model",),
+    "scan": ("scan_trip_count",),
+    "dispatch": ("dispatch_floor_ms",),
+    "svi": ("svi_batch_sweep",),
+    "pgd": ("pgd_decomposition",),
+    "nuts": ("nuts_chunk_ablation", "hmc_60k_leapfrog_per_sec"),
+}
+
+
 def main():
     t0 = time.time()
     only = [a.split("=", 1)[1].split(",") for a in sys.argv if a.startswith("--only=")]
     names = only[0] if only else list(SECTIONS)
-    for name in names:
-        SECTIONS[name]()
-    RESULTS["peak_flops"] = PEAK_FLOPS
     out_dir = "tests_out" if QUICK else "data"
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "roofline.json"), "w") as f:
-        json.dump(RESULTS, f, indent=1)
+    path = os.path.join(out_dir, "roofline.json")
+
+    # Restart-safe: a wedged tunnel dispatch can kill the run mid-section
+    # (CLAUDE.md); resume from the last checkpointed JSON and re-run only the
+    # sections whose keys are missing.
+    if os.path.exists(path) and not QUICK:
+        try:
+            with open(path) as f:
+                RESULTS.update(json.load(f))
+            print(f"resuming from {path}: {sorted(RESULTS)}", flush=True)
+        except Exception as e:
+            print(f"checkpoint unreadable ({e}); starting fresh", flush=True)
+
+    def checkpoint():
+        RESULTS["peak_flops"] = PEAK_FLOPS
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(RESULTS, f, indent=1)
+        os.replace(tmp, path)
+
+    for name in names:
+        if all(k in RESULTS for k in SECTION_KEYS[name]):
+            print(f"{name}: already measured (checkpoint), skipping", flush=True)
+            continue
+        SECTIONS[name]()
+        checkpoint()
+    checkpoint()
     print(f"\nROOFLINE total {time.time() - t0:.0f}s", flush=True)
 
 
