@@ -10,10 +10,12 @@ with its own torch-CPU baseline ratio:
 
 Honesty rules (VERDICT r2 weak #2 / missing #3):
 
-* every headline number runs the FRAMEWORK DEFAULTS — threefry PRNG, f32
-  matmuls; the opt-in fast paths (``ROBUSTBNNS_FAST_PRNG=1`` rbg PRNG,
-  ``ROBUSTBNNS_BF16=1`` matmuls) are measured separately and labeled as such
-  in extras;
+* every headline number runs the FRAMEWORK DEFAULTS — threefry PRNG, and
+  for the samplers the ``"high"`` (bf16_3x) matmul precision that the
+  round-5 precision study validated against full f32 (PERFORMANCE.md); the
+  opt-in paths (``ROBUSTBNNS_FAST_PRNG=1`` rbg PRNG, ``ROBUSTBNNS_BF16=1``
+  matmuls, single-pass-bf16 and strict-f32 sampler precisions) are measured
+  separately and labeled as such in extras;
 * each metric also reports achieved FLOP/s and MFU against the chip's
   published bf16 peak (v5e: 197 TFLOP/s) with FLOP counts from XLA's own cost
   model — "fast vs a 1-vCPU torch proxy" is not "fast vs the hardware";
@@ -128,23 +130,31 @@ def bench_jax_svi(
 
 def bench_jax_hmc(
     batch: int = 5000, n_samples: int = 30, num_steps: int = 10,
-    precision: str = "highest", with_flops: bool = False,
+    precision: str = None, with_flops: bool = False,
 ):
     """HMC leapfrog steps/sec: fc2-512 MNIST model_1 shape, full 5000-image
     batch (reference ``model_bnn.py:269-277`` — each leapfrog step is a
     full-batch forward+backward).
 
-    ``precision`` follows the sampler default (full f32 — bf16-pass matmuls
-    collapse MCMC adaptation on sharp posteriors, see HMCConfig); the
-    ``"default"`` variant is reported as a labeled opt-in extra.
+    ``precision=None`` follows the sampler default ("high" bf16_3x since
+    round 5 — single-pass bf16 collapses MCMC adaptation on sharp posteriors,
+    see HMCConfig); the ``"default"`` and strict-f32 ``"highest"`` variants
+    are reported as labeled extras.
     """
     import jax
     import jax.numpy as jnp
 
-    from robustbnns_tpu.inference.hmc import HMCConfig, hmc_sample
+    from robustbnns_tpu.inference.hmc import (
+        MCMC_PRECISION_DEFAULT,
+        HMCConfig,
+        hmc_sample,
+    )
+
     from robustbnns_tpu.models.architectures import build_architecture
     from robustbnns_tpu.utils.pytree import flatten_tree_to_vector
 
+    if precision is None:
+        precision = MCMC_PRECISION_DEFAULT
     arch = build_architecture("fc2", "leaky", (28, 28, 1), 10, 512)
     flat0, unravel = flatten_tree_to_vector(arch.init(jax.random.key(0)))
 
@@ -586,7 +596,8 @@ def main():
         return float(np.median(rates)), flops
 
     with ctx:
-        # ---- framework-default paths (threefry PRNG, f32 matmuls) ----------
+        # ---- framework-default paths (threefry PRNG; samplers at the
+        # round-5-validated "high" bf16_3x matmul precision) ----------------
         jax_svi, svi_flops = jmed(bench_jax_svi)
         print(
             f"jax svi: {jax_svi:.1f} steps/s "
@@ -601,9 +612,12 @@ def main():
             f"{jax_svi_faithful:.1f} steps/s",
             file=sys.stderr,
         )
+        from robustbnns_tpu.inference.hmc import MCMC_PRECISION_DEFAULT
+
         jax_hmc, hmc_flops = jmed(bench_jax_hmc)
         print(
-            f"jax hmc leapfrog: {jax_hmc:.1f} steps/s "
+            f"jax hmc leapfrog ({MCMC_PRECISION_DEFAULT}-precision default): "
+            f"{jax_hmc:.1f} steps/s "
             f"({mfu(jax_hmc, hmc_flops) * 100:.1f}% MFU)",
             file=sys.stderr,
         )
@@ -629,13 +643,21 @@ def main():
             file=sys.stderr,
         )
 
-        # ---- labeled opt-in fast paths -------------------------------------
-        # MCMC with XLA's default (bf16-pass) matmuls — valid only where the
-        # posterior tolerates the Hamiltonian noise; see HMCConfig.precision.
+        # ---- labeled opt-in precision variants ------------------------------
+        # MCMC with XLA's default (single-pass bf16) matmuls — valid only
+        # where the posterior tolerates the Hamiltonian noise (collapses NUTS
+        # adaptation; see HMCConfig.precision), and with strict-f32 "highest"
+        # — the pre-round-5 default, for bit-level Pyro-parity work.
         jax_hmc_fastmm = bench_jax_hmc(precision="default")
         print(
             f"jax hmc leapfrog (opt-in default-precision matmuls): "
             f"{jax_hmc_fastmm:.1f} steps/s",
+            file=sys.stderr,
+        )
+        jax_hmc_f32 = bench_jax_hmc(precision="highest")
+        print(
+            f"jax hmc leapfrog (opt-in strict-f32 'highest'): "
+            f"{jax_hmc_f32:.1f} steps/s",
             file=sys.stderr,
         )
         os.environ["ROBUSTBNNS_BF16"] = "1"  # perf mode: bf16 MXU matmuls
@@ -721,6 +743,8 @@ def main():
                     # Labeled opt-in fast paths (NOT the framework defaults):
                     "optin_bf16_pgd_images_per_sec": round(jax_pgd_bf16, 2),
                     "optin_fast_matmul_hmc_steps_per_sec": round(jax_hmc_fastmm, 2),
+                    "optin_f32_highest_hmc_steps_per_sec": round(jax_hmc_f32, 2),
+                    "mcmc_precision_default": MCMC_PRECISION_DEFAULT,
                     "optin_bf16_trainacc_faithful_steps_per_sec": round(
                         jax_svi_faithful_bf16acc, 2
                     ),

@@ -14,9 +14,13 @@ Replaces Pyro's ``HMC`` kernel + ``MCMC`` driver (reference
   RE-ADAPTATION phase under the new metric (see the chunked-driver note
   below) — the same knobs Pyro's defaults adapt
   (``adapt_step_size=True, adapt_mass_matrix=True``);
-* every potential/gradient evaluation runs at full f32 matmul precision by
-  default (``HMCConfig.precision``) — XLA:TPU's default bf16 passes inject
-  enough Hamiltonian noise to collapse adaptation on sharp posteriors;
+* every potential/gradient evaluation runs at ``"high"`` (bf16_3x) matmul
+  precision by default (``HMCConfig.precision``, env override
+  ``ROBUSTBNNS_MCMC_PRECISION``) — XLA:TPU's single-pass bf16 ``"default"``
+  injects enough Hamiltonian noise to collapse adaptation on sharp
+  posteriors, while the round-5 precision study measured ``"high"``
+  statistically indistinguishable from full-f32 ``"highest"`` at 1.65× the
+  leapfrog throughput (PERFORMANCE.md, round 5);
 * chains are a ``vmap`` axis: ``num_chains`` chains integrate in lockstep as
   one batched program (and can be sharded across TPU cores, see
   :mod:`robustbnns_tpu.parallel`) — vs Pyro's ``num_chains=1`` serial chain;
@@ -56,18 +60,45 @@ import jax
 import jax.numpy as jnp
 
 
+def _default_mcmc_precision() -> str:
+    """Sampler matmul precision default, overridable per-process via
+    ``ROBUSTBNNS_MCMC_PRECISION`` (read at import time, before any config is
+    built). Round-5 precision study (PERFORMANCE.md): ``"high"`` (bf16_3x,
+    three bf16 passes ≈ f32 accuracy) mixes statistically indistinguishably
+    from full-f32 ``"highest"`` on the round-3 collapse repro — same adapted
+    ε, O(1) inverse mass, interleaved posterior spreads across a 4-seed HMC
+    sweep — at 1.65× the leapfrog throughput, so it is the default.
+    Single-pass bf16 ``"default"`` collapses NUTS adaptation outright and
+    degrades HMC acceptance; it stays an explicit opt-in."""
+    import os
+
+    val = os.environ.get("ROBUSTBNNS_MCMC_PRECISION", "high")
+    if val not in ("default", "high", "highest"):
+        raise ValueError(
+            f"ROBUSTBNNS_MCMC_PRECISION={val!r}: expected one of "
+            "'default' (1-pass bf16), 'high' (bf16_3x), 'highest' (f32)"
+        )
+    return val
+
+
+MCMC_PRECISION_DEFAULT = _default_mcmc_precision()
+
+
 class HMCConfig(NamedTuple):
     """Sampler knobs (reference defaults: ``model_bnn.py:73``, Pyro HMC).
 
     ``precision`` sets the matmul precision of every potential/gradient
-    evaluation inside the sampler. Default ``"highest"`` (full f32): XLA:TPU's
-    default bf16-pass matmuls inject enough Hamiltonian noise on sharp
-    full-batch posteriors to collapse step-size/mass adaptation entirely
-    (measured: a 5000-point chain froze at eps≈3e-8 with the Welford variance
-    at its regularization floor; the identical run at ``"highest"`` mixes with
-    eps≈4e-3 and O(1) mass — see PERFORMANCE.md round 3). The Pyro/CPU
-    reference runs full f32, so this is also the parity-correct setting;
-    ``"default"`` opts back into the fast path for experiments.
+    evaluation inside the sampler. Default ``"high"`` (bf16_3x; env override
+    ``ROBUSTBNNS_MCMC_PRECISION``): XLA:TPU's single-pass bf16 ``"default"``
+    matmuls inject enough Hamiltonian noise on sharp full-batch posteriors to
+    collapse step-size/mass adaptation entirely (measured: a 5000-point chain
+    froze at eps≈3e-8 with the Welford variance at its regularization floor;
+    the identical run at ``"highest"`` mixes with eps≈4e-3 and O(1) mass —
+    PERFORMANCE.md round 3), while the round-5 three-way study measured
+    ``"high"`` statistically indistinguishable from ``"highest"`` at 1.65×
+    the throughput. The Pyro/CPU reference runs full f32 — set
+    ``"highest"`` (or the env var) for strict bit-level parity work;
+    ``"default"`` opts into the fast path for experiments that tolerate it.
     """
 
     num_samples: int
@@ -78,7 +109,7 @@ class HMCConfig(NamedTuple):
     adapt_mass_matrix: bool = True
     target_accept: float = 0.8
     num_chains: int = 1
-    precision: str = "highest"
+    precision: str = MCMC_PRECISION_DEFAULT
 
 
 class HMCInfo(NamedTuple):

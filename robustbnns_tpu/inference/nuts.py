@@ -32,8 +32,10 @@ TPU-first design — recursion-free NUTS:
 * warmup reuses the HMC machinery: ``find_reasonable_step_size`` guard, dual
   averaging on the trajectory-averaged acceptance statistic, and the windowed
   diagonal-mass scheme with post-switch step-size re-adaptation (see
-  :mod:`robustbnns_tpu.inference.hmc`); full-f32 matmul precision by default
-  (``NUTSConfig.precision``).
+  :mod:`robustbnns_tpu.inference.hmc`); ``"high"`` (bf16_3x) matmul
+  precision by default (``NUTSConfig.precision`` /
+  ``ROBUSTBNNS_MCMC_PRECISION`` — see the hmc module for the precision
+  ladder evidence).
 
 Divergences use Stan's ``ΔH > 1000`` cutoff. ``num_chains`` vmaps whole
 chains, shardable over a mesh's ``sample`` axis like HMC chains.
@@ -47,6 +49,7 @@ import jax
 import jax.numpy as jnp
 
 from robustbnns_tpu.inference.hmc import (
+    MCMC_PRECISION_DEFAULT,
     _dual_averaging_update,
     _find_reasonable_step_size,
     _heartbeat,
@@ -59,9 +62,13 @@ from robustbnns_tpu.inference.hmc import (
 class NUTSConfig(NamedTuple):
     """Sampler knobs (Stan/NumPyro defaults).
 
-    ``precision`` — matmul precision inside the sampler; default full f32,
-    see :class:`robustbnns_tpu.inference.hmc.HMCConfig` for the measured
-    TPU-bf16 adaptation-collapse failure that makes this the default.
+    ``precision`` — matmul precision inside the sampler; default ``"high"``
+    (bf16_3x, env override ``ROBUSTBNNS_MCMC_PRECISION``): measured
+    statistically indistinguishable from full-f32 ``"highest"`` on the
+    round-3 collapse repro at 1.65× the throughput, while single-pass bf16
+    ``"default"`` collapses adaptation outright — see
+    :class:`robustbnns_tpu.inference.hmc.HMCConfig` and PERFORMANCE.md
+    rounds 3 and 5.
     """
 
     num_samples: int
@@ -72,7 +79,7 @@ class NUTSConfig(NamedTuple):
     adapt_mass_matrix: bool = True
     target_accept: float = 0.8
     num_chains: int = 1
-    precision: str = "highest"
+    precision: str = MCMC_PRECISION_DEFAULT
 
 
 class NUTSInfo(NamedTuple):

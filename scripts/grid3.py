@@ -39,6 +39,10 @@ os.environ.setdefault("ROBUSTBNNS_NUTS_CHUNK", "10")
 # Per-chunk stderr heartbeat so the stall-guarded runner (stall_guard.sh)
 # can tell a healthy 30+-minute h=512 NUTS cell from a wedged dispatch.
 os.environ.setdefault("ROBUSTBNNS_MCMC_HEARTBEAT", "1")
+# Pin full-f32 sampler matmuls: every existing grid3 cell/checkpoint was
+# sampled at "highest"; the framework default moved to "high" in round 5
+# (precision study), and a resumed/refilled cell must match its siblings.
+os.environ.setdefault("ROBUSTBNNS_MCMC_PRECISION", "highest")
 
 import csv
 

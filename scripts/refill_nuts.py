@@ -30,6 +30,9 @@ os.environ.setdefault("ROBUSTBNNS_DATA_FALLBACK", "synthetic")
 os.environ.setdefault("ROBUSTBNNS_HMC_CHUNK", "100")
 os.environ.setdefault("ROBUSTBNNS_NUTS_CHUNK", "10")
 os.environ.setdefault("ROBUSTBNNS_MCMC_HEARTBEAT", "1")
+# Match grid3.py: cells already refilled this round sampled at full-f32
+# "highest" (the pre-round-5 default); keep relaunches consistent.
+os.environ.setdefault("ROBUSTBNNS_MCMC_PRECISION", "highest")
 
 import jax
 

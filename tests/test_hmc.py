@@ -308,14 +308,41 @@ def test_windowed_warmup_phase_lengths():
     assert (w1, w2, w3) == (1, 5, 1) and w1 + w2 + w3 == 7
 
 
-def test_mcmc_defaults_full_precision():
-    """TPU default bf16 matmul passes collapse adaptation on sharp posteriors
-    (measured round 3) — the samplers must default to full f32."""
-    from robustbnns_tpu.inference.hmc import HMCConfig
+def test_mcmc_defaults_high_precision():
+    """TPU single-pass bf16 matmuls collapse adaptation on sharp posteriors
+    (measured round 3), so the samplers must NEVER default to "default";
+    the round-5 precision study validated "high" (bf16_3x) as mixing
+    indistinguishably from full-f32 "highest" at 1.65x the throughput, so
+    that is the default — overridable via ROBUSTBNNS_MCMC_PRECISION
+    (read once at import; both configs must agree with it)."""
+    import os
+
+    from robustbnns_tpu.inference.hmc import MCMC_PRECISION_DEFAULT, HMCConfig
     from robustbnns_tpu.inference.nuts import NUTSConfig
 
-    assert HMCConfig(num_samples=1, warmup=1).precision == "highest"
-    assert NUTSConfig(num_samples=1, warmup=1).precision == "highest"
+    expected = os.environ.get("ROBUSTBNNS_MCMC_PRECISION", "high")
+    assert MCMC_PRECISION_DEFAULT == expected
+    assert MCMC_PRECISION_DEFAULT != "default"
+    assert HMCConfig(num_samples=1, warmup=1).precision == MCMC_PRECISION_DEFAULT
+    assert NUTSConfig(num_samples=1, warmup=1).precision == MCMC_PRECISION_DEFAULT
+
+
+def test_mcmc_precision_env_validation():
+    """A typo in ROBUSTBNNS_MCMC_PRECISION must fail loudly at import-time
+    resolution, not silently pass an invalid string into XLA."""
+    import os
+    from unittest import mock
+
+    import pytest
+
+    from robustbnns_tpu.inference.hmc import _default_mcmc_precision
+
+    with mock.patch.dict(os.environ, {"ROBUSTBNNS_MCMC_PRECISION": "f32"}):
+        with pytest.raises(ValueError, match="ROBUSTBNNS_MCMC_PRECISION"):
+            _default_mcmc_precision()
+    for ok in ("default", "high", "highest"):
+        with mock.patch.dict(os.environ, {"ROBUSTBNNS_MCMC_PRECISION": ok}):
+            assert _default_mcmc_precision() == ok
 
 
 def test_mcmc_heartbeat_emits_progress(monkeypatch, capsys):
