@@ -46,7 +46,7 @@ from robustbnns_tpu.utils.pytree import flatten_tree_to_vector
 PRECISIONS = ["default", "high", "highest"]
 
 CKPT_PATH = os.path.join("tests_out" if QUICK else "data", "precision_study.json")
-STATE = {"stability": [], "throughput": []}
+STATE = {"stability": [], "throughput": [], "seed_sweep": []}
 
 
 def load_ckpt():
@@ -59,7 +59,8 @@ def load_ckpt():
             saved = json.load(f)
         STATE["stability"] = saved.get("stability", [])
         STATE["throughput"] = saved.get("throughput", [])
-        done = [(r["engine"], r["precision"])
+        STATE["seed_sweep"] = saved.get("seed_sweep", [])
+        done = [(r["engine"], r["precision"], r.get("seed"))
                 for part in STATE.values() for r in part]
         print(f"resuming from {CKPT_PATH}: {done}", flush=True)
     except Exception as e:
@@ -185,9 +186,58 @@ def throughput():
     return STATE["throughput"]
 
 
+def seed_sweep():
+    """Settle the HMC high-vs-highest call: the single-seed stability rows
+    show a 1.6x posterior-spread gap (0.071 vs 0.112) that is either bf16_3x
+    noise or just a different (healthy) adaptation path. Re-run the HMC repro
+    at both precisions over fresh seeds — if the per-seed spreads interleave,
+    the gap is adaptation-path noise and "high" is a safe default."""
+    n_inputs, n_samp, warm = (300, 10, 10) if QUICK else (5000, 250, 100)
+    x_train, y_train, _, _, inp_shape, out_size = load_dataset(
+        "half_moons", n_inputs=n_inputs, shuffle=False
+    )
+    arch = build_architecture("fc2", "leaky", inp_shape, out_size, 32)
+    flat0, unravel = flatten_tree_to_vector(arch.init(jax.random.key(0)))
+    potential = make_potential(arch, unravel)
+    x = jnp.asarray(x_train)
+    labels = jnp.argmax(jnp.asarray(y_train), axis=-1)
+
+    seeds = [2, 3] if QUICK else [2, 3, 4, 5]
+    for seed in seeds:
+        for precision in ("high", "highest"):
+            if any(r["precision"] == precision and r.get("seed") == seed
+                   for r in STATE["seed_sweep"]):
+                continue
+            cfg = HMCConfig(
+                num_samples=n_samp, warmup=warm, step_size=0.001, num_steps=10,
+                precision=precision,
+            )
+            t0 = time.perf_counter()
+            samples, info = hmc_sample(
+                potential, flat0, jax.random.key(seed), cfg, data=(x, labels)
+            )
+            sync(samples)
+            row = dict(engine="hmc", precision=precision, seed=seed,
+                       wall_s=round(time.perf_counter() - t0, 1),
+                       **diagnostics(samples, info))
+            STATE["seed_sweep"].append(row)
+            checkpoint()
+            print(row, flush=True)
+    return STATE["seed_sweep"]
+
+
 def main():
     t0 = time.time()
     load_ckpt()
+    if "--seeds" in sys.argv:
+        rows = seed_sweep()
+        print("\n| seed | precision | eps | accept | spread |")
+        print("|---|---|---|---|---|")
+        for r in rows:
+            print(f"| {r['seed']} | {r['precision']} | {r['eps']:.2e} | "
+                  f"{r['accept']:.3f} | {r['spread']:.4f} |")
+        print(f"\nSEED SWEEP total {time.time() - t0:.0f}s", flush=True)
+        return
     out = dict(stability=stability_repro(), throughput=throughput())
     checkpoint()
     print(f"\nPRECISION STUDY total {time.time() - t0:.0f}s", flush=True)
