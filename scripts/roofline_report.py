@@ -23,12 +23,20 @@ def main():
         print("### Cost-model cross-check\n")
         print("| op | XLA cost-model FLOPs | analytic FLOPs | ratio | time | achieved TFLOP/s (analytic) | MFU |")
         print("|---|---|---|---|---|---|---|")
+        amort = None
         for name, row in cm.items():
             xla, ana, ms = row["xla_flops"], row["analytic_flops"], row["time_ms"]
+            amort = row.get("amortized_over", amort)
             tf = ana / (ms * 1e-3) / 1e12
             print(
                 f"| {name} | {xla:.3g} | {ana:.3g} | {xla / ana:.2f} | "
                 f"{ms:.2f} ms | {tf:.1f} | {100 * tf * 1e12 / peak:.1f}% |"
+            )
+        if amort:
+            print(
+                f"\n(times amortized over {amort} scanned iterations per "
+                "dispatch — single-dispatch timings only measure the tunnel "
+                "floor)"
             )
         print()
 
@@ -65,9 +73,13 @@ def main():
     pgd = R.get("pgd_decomposition")
     if pgd:
         tot = pgd["noise_only_ms"] + pgd["forward_ms"] + pgd["ce_grad_ms"]
+        amort_note = (
+            f", amortized over {pgd['amortized_over']} iterations/dispatch"
+            if pgd.get("amortized_over") else ""
+        )
         print(
             f"### PGD per-iteration decomposition (fc2-512, S={pgd['S']}, "
-            f"batch {pgd['batch']}, {pgd['n_params']:,} params)\n"
+            f"batch {pgd['batch']}, {pgd['n_params']:,} params{amort_note})\n"
         )
         print("| unit | time | share of (noise + fwd + grad) |")
         print("|---|---|---|")
