@@ -297,7 +297,12 @@ def _t(thunk) -> float:
 def nuts_vs_hmc_60k():
     nuts_kw = dict(batch=256, n_draws=2, max_depth=4) if QUICK else dict(n_draws=8)
     rows = []
-    for chunk in (5, 20, 80):
+    # chunk 8 = the whole 8-draw probe in ONE dispatch (isolates dispatch
+    # count from chunk shape); the trailing repeat of 5 is an order control —
+    # the first r5 run measured chunk-5 2.8x slower than chunk-20, far more
+    # than one extra ~27 ms dispatch can explain, so distinguish "chunking
+    # really costs" from "first-measurement transient".
+    for chunk in ((5, 20) if QUICK else (5, 8, 20, 80, 5)):
         os.environ["ROBUSTBNNS_NUTS_CHUNK"] = str(chunk)
         rate = bench_jax_nuts(**nuts_kw)
         rows.append(dict(chunk=chunk, grad_evals_per_sec=rate))

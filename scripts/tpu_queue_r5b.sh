@@ -3,7 +3,8 @@
 # the chip (CLAUDE.md: ONE JAX process at a time).
 #
 # 1. roofline cost/pgd sections re-measured AMORTIZED (the first r5 run's
-#    single-dispatch unit timings only measured the ~27.6 ms tunnel floor);
+#    single-dispatch unit timings only measured the ~27.6 ms tunnel floor),
+#    plus the extended NUTS chunk ablation with order control;
 # 2. fresh bench at the new "high" sampler-precision default (the headline
 #    table refresh + BENCH_r05 must reflect shipped defaults).
 #
@@ -37,6 +38,6 @@ run_bounded() { # name, timeout_s, cmd...
 }
 
 run_bounded roofline2 4800 bash -c \
-  'python -u scripts/roofline.py --only=cost,pgd --force=cost,pgd >> roofline.log 2>&1'
+  'python -u scripts/roofline.py --only=cost,pgd,nuts --force=cost,pgd,nuts >> roofline.log 2>&1'
 run_bounded bench2 7200 bash -c 'python -u bench.py > bench_r05.log 2>&1'
 echo "[queue] ALL DONE at $(date)" | tee -a "$QLOG"
