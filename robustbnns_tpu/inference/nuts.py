@@ -29,6 +29,13 @@ TPU-first design — recursion-free NUTS:
 * positions are flat ``(D,)`` vectors (like :mod:`.hmc`), so every leapfrog
   update is one fused vector op and the potential gradient is one batched
   MXU forward/backward;
+* each tree leaf costs exactly ONE ``value_and_grad`` evaluation: the
+  gradient at the leaf's start position is carried from the previous leaf
+  (and across subtree doublings via the trajectory's two edge states), and
+  the leaf's energy reuses the primal from the same fused evaluation — the
+  same K+1-gradients-for-K-steps caching :func:`.hmc._leapfrog` does. The
+  naive formulation (2 ``grad`` + 1 forward per leaf, what this module did
+  through round 5a) costs ~2.3× the FLOPs for bit-identical trajectories;
 * warmup reuses the HMC machinery: ``find_reasonable_step_size`` guard, dual
   averaging on the trajectory-averaged acceptance statistic, and the windowed
   diagonal-mass scheme with post-switch step-size re-adaptation (see
@@ -102,29 +109,29 @@ def _trailing_zeros(i: jax.Array, nbits: int = 32) -> jax.Array:
     return jnp.sum(jnp.cumprod(bits)).astype(jnp.int32)
 
 
-def _one_leapfrog(grad_u, q, p, eps, inv_mass):
-    """A single velocity-Verlet step (one NUTS tree leaf)."""
-    p = p - 0.5 * eps * grad_u(q)
-    q = q + eps * inv_mass * p
-    p = p - 0.5 * eps * grad_u(q)
-    return q, p
-
-
 _MAX_DELTA_ENERGY = 1000.0  # Stan's divergence cutoff
 
 
 def _build_subtree(
-    potential_fn, grad_u, h0, q0, p0, direction, depth, eps, inv_mass,
+    potential_fn, vg_u, h0, q0, p0, g0, direction, depth, eps, inv_mass,
     max_depth, key,
 ):
     """Integrate the ``2**depth`` leaves of one subtree from (q0, p0).
 
+    ``vg_u = jax.value_and_grad(potential_fn)``; ``g0`` is the potential
+    gradient at ``q0`` (carried by the caller so a subtree build never
+    re-evaluates its start state). Each leaf is one velocity-Verlet step
+    costing exactly one ``vg_u`` call: the first momentum half-step uses the
+    carried gradient, the second uses the fresh one, and the leaf energy
+    reuses the fused primal.
+
     Returns (q_end, p_end, psum, q_prop, logw, sum_accept, n_done, turning,
-    diverging, sp_end). ``psum`` is the sum of the *new* leaves' momenta (true
-    trajectory momenta — backward builds use a negative step, so collected
-    momenta are the real ones at those points). ``sp_end`` is the checkpoint
-    stack pointer after the build — 0 for a complete, non-terminated build
-    (every opened node was closed; asserted by tests).
+    diverging, sp_end, g_end). ``psum`` is the sum of the *new* leaves'
+    momenta (true trajectory momenta — backward builds use a negative step,
+    so collected momenta are the real ones at those points). ``sp_end`` is
+    the checkpoint stack pointer after the build — 0 for a complete,
+    non-terminated build (every opened node was closed; asserted by tests).
+    ``g_end`` is the gradient at ``q_end`` for the caller's edge carry.
 
     Checkpoint bookkeeping: a dyadic node ``[i, i + 2^j - 1]`` OPENS at its
     first leaf ``i`` — for each ``j ∈ [1, trailing_zeros(i)]`` (``depth``
@@ -143,16 +150,21 @@ def _build_subtree(
 
     def cond(state):
         i = state[1]
-        turning, diverging = state[10], state[11]
+        turning, diverging = state[11], state[12]
         return (i < n_leaves) & ~turning & ~diverging
 
     def body(state):
-        (key, i, q, p, psum, q_prop, logw, sum_acc,
+        (key, i, q, p, g, psum, q_prop, logw, sum_acc,
          ckpt_q, ckpt_p, turning, diverging, ckpt_psum, sp) = state
 
         key, k_mult = jax.random.split(key)
-        q, p = _one_leapfrog(grad_u, q, p, signed_eps, inv_mass)
-        h = potential_fn(q) + _kinetic(p, inv_mass)
+        # One velocity-Verlet step, one fused potential evaluation: the
+        # entering half-step uses the carried gradient g = ∇U(q).
+        p_half = p - 0.5 * signed_eps * g
+        q = q + signed_eps * inv_mass * p_half
+        u, g = vg_u(q)
+        p = p_half - 0.5 * signed_eps * g
+        h = u + _kinetic(p, inv_mass)
         delta = h - h0
         delta = jnp.where(jnp.isfinite(delta), delta, jnp.inf)
         diverging = delta > _MAX_DELTA_ENERGY
@@ -202,7 +214,7 @@ def _build_subtree(
         turning = jax.lax.fori_loop(0, max_depth + 1, check, turning)
         sp = sp - n_checks
 
-        return (key, i + 1, q, p, psum, q_prop, logw, sum_acc,
+        return (key, i + 1, q, p, g, psum, q_prop, logw, sum_acc,
                 ckpt_q, ckpt_p, turning, diverging, ckpt_psum, sp)
 
     init = (
@@ -210,6 +222,7 @@ def _build_subtree(
         jnp.zeros((), jnp.int32),
         q0,
         p0,
+        g0,
         jnp.zeros((d,), q0.dtype),
         q0,
         jnp.asarray(-jnp.inf, q0.dtype),
@@ -221,37 +234,41 @@ def _build_subtree(
         jnp.zeros((n_ckpt, d), q0.dtype),
         jnp.zeros((), jnp.int32),
     )
-    (_, i, q, p, psum, q_prop, logw, sum_acc,
+    (_, i, q, p, g, psum, q_prop, logw, sum_acc,
      _, _, turning, diverging, _, sp) = jax.lax.while_loop(cond, body, init)
-    return q, p, psum, q_prop, logw, sum_acc, i, turning, diverging, sp
+    return q, p, psum, q_prop, logw, sum_acc, i, turning, diverging, sp, g
 
 
 def _nuts_transition(potential_fn, max_depth):
     """One NUTS draw: (q, key, eps, inv_mass) → (q', accept_stat, n_leapfrog,
     diverging)."""
-    grad_u = jax.grad(potential_fn)
+    vg_u = jax.value_and_grad(potential_fn)
 
     def transition(q, key, eps, inv_mass):
         key, k_mom = jax.random.split(key)
         p0 = jax.random.normal(k_mom, q.shape, q.dtype) / jnp.sqrt(inv_mass)
-        h0 = potential_fn(q) + _kinetic(p0, inv_mass)
+        # One fused evaluation at the root: the primal feeds H0, the gradient
+        # seeds both trajectory edges.
+        u0, g0 = vg_u(q)
+        h0 = u0 + _kinetic(p0, inv_mass)
 
         def cond(state):
-            depth, turning, diverging = state[1], state[12], state[13]
+            depth, turning, diverging = state[1], state[14], state[15]
             return (depth < max_depth) & ~turning & ~diverging
 
         def body(state):
-            (key, depth, q_l, p_l, q_r, p_r, psum, q_prop, logw,
+            (key, depth, q_l, p_l, g_l, q_r, p_r, g_r, psum, q_prop, logw,
              sum_acc, n_leaves, n_sub_ok, turning, diverging) = state
             key, k_dir, k_sub, k_merge = jax.random.split(key, 4)
             go_right = jax.random.bernoulli(k_dir)
             direction = jnp.where(go_right, 1.0, -1.0).astype(q_prop.dtype)
             q0 = jnp.where(go_right, q_r, q_l)
             p0 = jnp.where(go_right, p_r, p_l)
+            g_start = jnp.where(go_right, g_r, g_l)
 
             (q_end, p_end, psum_sub, q_prop_sub, logw_sub, acc_sub, n_done,
-             turn_sub, div_sub, _) = _build_subtree(
-                potential_fn, grad_u, h0, q0, p0, direction,
+             turn_sub, div_sub, _, g_end) = _build_subtree(
+                potential_fn, vg_u, h0, q0, p0, g_start, direction,
                 depth, eps, inv_mass,
                 max_depth, k_sub,
             )
@@ -268,8 +285,10 @@ def _nuts_transition(potential_fn, max_depth):
 
             q_l = jnp.where(sub_ok & ~go_right, q_end, q_l)
             p_l = jnp.where(sub_ok & ~go_right, p_end, p_l)
+            g_l = jnp.where(sub_ok & ~go_right, g_end, g_l)
             q_r = jnp.where(sub_ok & go_right, q_end, q_r)
             p_r = jnp.where(sub_ok & go_right, p_end, p_r)
+            g_r = jnp.where(sub_ok & go_right, g_end, g_r)
             psum = jnp.where(sub_ok, psum + psum_sub, psum)
 
             # Whole-trajectory generalized U-turn after a successful doubling.
@@ -277,14 +296,15 @@ def _nuts_transition(potential_fn, max_depth):
                 (jnp.dot(psum, inv_mass * p_l) < 0.0)
                 | (jnp.dot(psum, inv_mass * p_r) < 0.0)
             )
-            return (key, depth + 1, q_l, p_l, q_r, p_r, psum, q_prop, logw,
+            return (key, depth + 1, q_l, p_l, g_l, q_r, p_r, g_r, psum,
+                    q_prop, logw,
                     sum_acc, n_leaves, n_sub_ok + sub_ok.astype(jnp.int32),
                     turning | turn_sub | turn_total, diverging | div_sub)
 
         init = (
             key,
             jnp.zeros((), jnp.int32),
-            q, p0, q, p0,
+            q, p0, g0, q, p0, g0,
             p0,  # psum starts with the root leaf's momentum
             q,
             jnp.zeros((), q.dtype),  # root leaf weight: H0 - H0 = 0
@@ -294,7 +314,7 @@ def _nuts_transition(potential_fn, max_depth):
             jnp.zeros((), bool),
             jnp.zeros((), bool),
         )
-        (_, _, _, _, _, _, _, q_new, _, sum_acc, n_leaves, _, _,
+        (_, _, _, _, _, _, _, _, _, q_new, _, sum_acc, n_leaves, _, _,
          diverging) = jax.lax.while_loop(cond, body, init)
         accept_stat = sum_acc / jnp.maximum(n_leaves, 1)
         return q_new, accept_stat, n_leaves, diverging

@@ -199,10 +199,11 @@ def test_subtree_checkpoint_stack_balanced():
     from robustbnns_tpu.inference.nuts import _build_subtree
 
     U = lambda q: jnp.sum(q) * 0.0  # free particle: never U-turns
-    grad_u = jax.grad(U)
+    vg_u = jax.value_and_grad(U)
+    g0 = vg_u(jnp.zeros(3))[1]
     for depth in range(5):
         out = _build_subtree(
-            U, grad_u, jnp.asarray(0.0), jnp.zeros(3), jnp.ones(3), 1.0,
+            U, vg_u, jnp.asarray(0.0), jnp.zeros(3), jnp.ones(3), g0, 1.0,
             jnp.asarray(depth, jnp.int32), 0.1, jnp.ones(3), 6,
             jax.random.key(0),
         )
@@ -210,6 +211,77 @@ def test_subtree_checkpoint_stack_balanced():
         assert int(n_done) == 2**depth
         assert not bool(turning)
         assert int(sp_end) == 0
+
+
+def test_subtree_matches_explicit_leapfrog():
+    """The cached-gradient leaf (one value_and_grad per step) must produce
+    the same trajectory as the textbook two-gradient velocity-Verlet — the
+    caching is a reuse of an identical quantity, not an approximation."""
+    from robustbnns_tpu.inference.nuts import _build_subtree
+
+    U = lambda q: 0.5 * jnp.sum(q * q) + jnp.sum(jnp.cos(q))
+    vg_u = jax.value_and_grad(U)
+    grad_u = jax.grad(U)
+    q0 = jnp.array([0.3, -1.2, 0.7])
+    p0 = jnp.array([1.0, 0.5, -0.25])
+    eps, depth = 0.05, 3
+
+    out = _build_subtree(
+        U, vg_u, U(q0) + 0.5 * jnp.sum(p0 * p0), q0, p0, grad_u(q0), 1.0,
+        jnp.asarray(depth, jnp.int32), eps, jnp.ones(3), 6, jax.random.key(1),
+    )
+    q_end, p_end, n_done, turning, g_end = out[0], out[1], out[6], out[7], out[10]
+    assert int(n_done) == 2**depth  # smooth short trajectory: no early stop
+    assert not bool(turning)
+
+    q, p = q0, p0
+    for _ in range(2**depth):
+        p = p - 0.5 * eps * grad_u(q)
+        q = q + eps * p
+        p = p - 0.5 * eps * grad_u(q)
+    np.testing.assert_allclose(np.asarray(q_end), np.asarray(q), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_end), np.asarray(p), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_end), np.asarray(grad_u(q)), rtol=1e-6
+    )
+
+
+def test_one_potential_eval_per_leapfrog():
+    """The round-5b economy claim: a NUTS draw evaluates the potential exactly
+    n_leapfrog + 1 times (one fused value_and_grad per tree leaf plus the
+    root's H0 evaluation) — not the naive 3 per leaf."""
+    import jax.experimental
+
+    count = np.zeros((), np.int64)
+
+    def bump(x):
+        nonlocal count
+        count += 1
+        return np.asarray(0.0, np.float32)
+
+    @jax.custom_jvp
+    def tick_fn(x):
+        return jax.experimental.io_callback(
+            bump, jax.ShapeDtypeStruct((), jnp.float32), x
+        )
+
+    @tick_fn.defjvp
+    def _tick_jvp(primals, tangents):
+        # Zero tangent: differentiation must not add callback executions.
+        return tick_fn(primals[0]), jnp.zeros((), jnp.float32)
+
+    def potential(q):
+        return 0.5 * jnp.sum(q * q) + tick_fn(q[0])
+
+    cfg = NUTSConfig(
+        num_samples=20, warmup=0, step_size=0.25, adapt_step_size=False,
+        adapt_mass_matrix=False,
+    )
+    samples, info = nuts_sample(
+        potential, jnp.zeros((4,)), jax.random.key(3), cfg
+    )
+    expected = int(jnp.sum(info.num_leapfrog)) + cfg.num_samples
+    assert int(count) == expected
 
 
 def test_trailing_zeros():
