@@ -13,14 +13,18 @@ TPU-first design — recursion-free NUTS:
   compiled by XLA. This is the **iterative** formulation: an outer
   ``lax.while_loop`` doubles the trajectory, an inner ``lax.while_loop`` runs
   the ``2^depth`` leapfrog leaves of each subtree;
-* sub-U-turn checks (the part naive iterative ports drop) use the
-  checkpoint-stack scheme: a leaf ``i`` opens the binary-tree nodes for which
-  it is the first leaf (one push of position/momentum/momentum-prefix per
-  trailing zero-bit of ``i`` onto a ``(max_depth+1, D)`` stack) and closes
-  the nodes for which it is the last leaf (one per trailing one-bit of ``i``
-  → pop and test the generalized U-turn condition
-  ``rho·(M⁻¹ p_first) < 0 or rho·(M⁻¹ p_last) < 0``). This checks exactly
-  the node set the recursive algorithm checks, in O(max_depth) memory;
+* sub-U-turn checks (the part naive iterative ports drop) use level-indexed
+  checkpoints: at most one dyadic node of size ``2^(j+1)`` is live per level
+  ``j``, so row ``j`` of a ``(max_depth, D)`` buffer holds its first-leaf
+  velocity and momentum-prefix — (re)written at leaves with
+  ``i % 2^(j+1) == 0``, tested at leaves with ``(i+1) % 2^(j+1) == 0`` via
+  the generalized U-turn condition
+  ``rho·(M⁻¹ p_first) < 0 or rho·(M⁻¹ p_last) < 0``. Both masks are bit-
+  functions of the leaf counter, so the whole bookkeeping is one masked
+  ``(rows, D)`` select plus one fused masked reduction per leaf — no
+  sequential inner loops (whose turnaround latency measured ~2.6 ms/leaf on
+  a 2M-param model, round 5). This checks exactly the node set the
+  recursive algorithm checks, in O(max_depth) memory;
 * proposals are **multinomial** with biased progressive sampling (Stan's
   scheme): within a subtree each leaf replaces the running proposal with
   probability ``exp(logw_leaf − logsumexp_so_far)``; across subtrees the new
@@ -239,9 +243,20 @@ def _build_subtree(
     return q, p, psum, q_prop, logw, sum_acc, i, turning, diverging, sp, g
 
 
-def _nuts_transition(potential_fn, max_depth):
-    """One NUTS draw: (q, key, eps, inv_mass) → (q', accept_stat, n_leapfrog,
-    diverging)."""
+def _nuts_transition_nested(potential_fn, max_depth):
+    """One NUTS draw, nested-loop formulation (outer ``while`` over
+    doublings, inner ``while`` over subtree leaves — the direct iterative
+    transcription of the recursive algorithm).
+
+    Kept as the semantic reference: :func:`_nuts_transition` (the flat
+    single-loop, vectorized-checkpoint formulation actually used by the
+    sampler) is asserted bit-identical to this in ``tests/test_nuts.py``.
+    This version keeps the textbook structure — and the sequential
+    ``fori_loop`` checkpoint pushes/pops whose loop-turnaround latency is
+    what the shipped formulation removes (measured round 5: ~135 vs ~190
+    gradient evals/s on the 2M-param multimodal config, against a ~213/s
+    pure-gradient floor).
+    """
     vg_u = jax.value_and_grad(potential_fn)
 
     def transition(q, key, eps, inv_mass):
@@ -316,6 +331,227 @@ def _nuts_transition(potential_fn, max_depth):
         )
         (_, _, _, _, _, _, _, _, _, q_new, _, sum_acc, n_leaves, _, _,
          diverging) = jax.lax.while_loop(cond, body, init)
+        accept_stat = sum_acc / jnp.maximum(n_leaves, 1)
+        return q_new, accept_stat, n_leaves, diverging
+
+    return transition
+
+
+def _nuts_transition(potential_fn, max_depth):
+    """One NUTS draw: (q, key, eps, inv_mass) → (q', accept_stat, n_leapfrog,
+    diverging).
+
+    Flat single-loop formulation: ONE leaf-level ``lax.while_loop`` carries
+    both the subtree-local and the whole-trajectory state, with the
+    doubling-boundary work (direction draw, subtree reset, biased
+    progressive merge) predicated on the leaf counter instead of living in
+    an outer loop. Equivalent to :func:`_nuts_transition_nested` — the PRNG
+    split schedule is replicated exactly (the per-doubling ``split(key, 4)``
+    happens at each subtree's first leaf, the per-leaf split consumes the
+    subtree key) — asserted draw-for-draw in ``tests/test_nuts.py``.
+
+    Checkpoint bookkeeping is **level-indexed and vectorized**: the dyadic
+    node of size ``2^(j+1)`` live at any moment is unique per level ``j``,
+    so checkpoints live in fixed rows of a ``(max_depth, D)`` buffer — row
+    ``j`` is (re)written at leaves with ``i % 2^(j+1) == 0`` and checked at
+    leaves with ``(i+1) % 2^(j+1) == 0``, both masks pure bit-functions of
+    the leaf counter. One masked ``(rows, D)`` select replaces the push
+    loop; one fused rows×D masked reduction replaces the U-turn check loop.
+    This is the round-5 anatomy result: sequential ``fori_loop`` pushes and
+    checks cost ~2.6 ms/leaf in loop-turnaround latency whenever their
+    result is live on the next-iteration path (which in a real sampler it
+    always is — ``turning`` feeds the loop condition), which held the 2M-
+    param multimodal config at ~130 gradient evals/s against the ~213/s
+    pure-gradient floor measured by both plain HMC and a bookkeeping-dead
+    anatomy loop. The same node set is checked with the same stored values
+    as the nested reference; only the loop structure differs.
+    """
+    vg_u = jax.value_and_grad(potential_fn)
+
+    def transition(q, key, eps, inv_mass):
+        key, k_mom = jax.random.split(key)
+        p0 = jax.random.normal(k_mom, q.shape, q.dtype) / jnp.sqrt(inv_mass)
+        u0, g0 = vg_u(q)
+        h0 = u0 + _kinetic(p0, inv_mass)
+
+        d = q.shape[0]
+        # Row j holds the live level-(j+1) node's checkpoint (nodes of size
+        # 2^(j+1); single leaves are never U-turn-checked). Subtrees reach
+        # depth max_depth - 1, so max_depth rows cover every checkable level.
+        n_rows = max_depth
+        levels = jnp.asarray(2, jnp.int32) ** jnp.arange(1, n_rows + 1)
+        dt = q.dtype
+
+        def cond(state):
+            depth, turning, diverging = state[4], state[20], state[21]
+            return (depth < max_depth) & ~turning & ~diverging
+
+        def body(state):
+            (key_out, key_in, k_merge, direction, depth, i,
+             qc, pc, gc, psum_sub, q_prop_sub, logw_sub, turning_sub,
+             ckpt_v, ckpt_psum,
+             eq, ep, eg,
+             psum, q_prop, turning, diverging, logw, sum_acc,
+             n_leaves, go_right, acc_sub) = state
+
+            # -- Subtree start (i == 0): consume the outer key exactly like
+            # the nested outer body, pick a direction, reset subtree state.
+            is_start = i == 0
+            ko_new, k_dir, k_sub, k_merge_new = jax.random.split(key_out, 4)
+            key_out = jnp.where(is_start, ko_new, key_out)
+            key_in = jnp.where(is_start, k_sub, key_in)
+            k_merge = jnp.where(is_start, k_merge_new, k_merge)
+            go_right = jnp.where(
+                is_start, jax.random.bernoulli(k_dir), go_right
+            )
+            direction = jnp.where(
+                is_start,
+                jnp.where(go_right, 1.0, -1.0).astype(dt),
+                direction,
+            )
+            # Edge states live as rows of (3, D) buffers (0 = left, 1 =
+            # right, 2 = scratch): loads are one dynamic-slice + select, and
+            # the sub_end stores below are one row write each instead of two
+            # full-vector selects — this merge → edge-load chain feeds the
+            # next leaf's gradient, so every byte here is critical-path.
+            side = go_right.astype(jnp.int32)
+            qc = jnp.where(is_start, eq[side], qc)
+            pc = jnp.where(is_start, ep[side], pc)
+            gc = jnp.where(is_start, eg[side], gc)
+            psum_sub = jnp.where(is_start, jnp.zeros_like(psum_sub), psum_sub)
+            q_prop_sub = jnp.where(is_start, qc, q_prop_sub)
+            logw_sub = jnp.where(is_start, -jnp.inf, logw_sub)
+            turning_sub = jnp.where(is_start, False, turning_sub)
+            acc_sub = jnp.where(is_start, jnp.zeros_like(acc_sub), acc_sub)
+            # No checkpoint-stack reset: at i == 0 the open-mask below is
+            # all-true, so every row is rewritten with this subtree's state
+            # before any row can be read (a level-(j+1) close needs
+            # i ≥ 2^(j+1) − 1 > 0).
+
+            # -- One leaf: identical math to _build_subtree's body.
+            signed_eps = direction * eps
+            key_in, k_mult = jax.random.split(key_in)
+            p_half = pc - 0.5 * signed_eps * gc
+            qc = qc + signed_eps * inv_mass * p_half
+            u, gc = vg_u(qc)
+            pc = p_half - 0.5 * signed_eps * gc
+            # The leaf velocity, computed ONCE: the U-turn checks need
+            # inv_mass·p for this leaf and for every checkpointed node, so
+            # the checkpoint rows store velocities rather than momenta —
+            # same bits as the nested formulation's per-check
+            # `inv_mass * ckpt_p[idx]`, multiplied earlier.
+            vc = inv_mass * pc
+            h = u + _kinetic(pc, inv_mass)
+            delta = h - h0
+            delta = jnp.where(jnp.isfinite(delta), delta, jnp.inf)
+            div_leaf = delta > _MAX_DELTA_ENERGY
+            logw_leaf = -delta
+            acc_sub = acc_sub + jnp.minimum(1.0, jnp.exp(-delta))
+
+            logw_new = jnp.logaddexp(logw_sub, logw_leaf)
+            take = jnp.log(jax.random.uniform(k_mult)) < (logw_leaf - logw_new)
+            q_prop_sub = jnp.where(take, qc, q_prop_sub)
+            logw_sub = logw_new
+
+            # Open nodes: the level-(j+1) node whose FIRST leaf is i exists
+            # iff i % 2^(j+1) == 0 (all rows at a subtree's first leaf).
+            # ONE masked (rows, D) select per buffer replaces the push loop
+            # — sequential fori pushes/checks cost ~2.6 ms/leaf in loop
+            # turnarounds on the 2M-param config (round-5 anatomy bisect);
+            # positions are never checkpointed (the generalized U-turn test
+            # reads only velocities and momentum prefix-sums), and storing
+            # velocities instead of momenta does the inv_mass multiply once
+            # per leaf instead of once per check.
+            open_mask = (i % levels) == 0
+            ckpt_v = jnp.where(open_mask[:, None], vc[None, :], ckpt_v)
+            ckpt_psum = jnp.where(
+                open_mask[:, None], psum_sub[None, :], ckpt_psum
+            )
+
+            psum_sub = psum_sub + pc
+
+            # Close nodes: the level-(j+1) node whose LAST leaf is i exists
+            # iff (i+1) % 2^(j+1) == 0. ckpt_psum row j was recorded BEFORE
+            # the node's first-leaf momentum was added, so rho is exactly
+            # Σ p over the node's leaves. Fused masked rows×D reductions
+            # replace the check loop; same node set, same stored values.
+            close_mask = ((i + 1) % levels) == 0
+            rho_rows = psum_sub[None, :] - ckpt_psum
+            dot_first = jnp.sum(rho_rows * ckpt_v, axis=1)
+            dot_last = rho_rows @ vc
+            turning_sub = turning_sub | jnp.any(
+                close_mask & ((dot_first < 0.0) | (dot_last < 0.0))
+            )
+
+            i = i + 1
+            n_leaves = n_leaves + 1
+
+            # -- Subtree end: the inner loop's exit condition, evaluated in
+            # the same body iteration as its terminating leaf.
+            n_sub = jnp.left_shift(jnp.asarray(1, jnp.int32), depth)
+            sub_end = (i >= n_sub) | turning_sub | div_leaf
+            # Add the subtree's acceptance mass at its end (NOT per leaf):
+            # preserves the nested version's float association exactly.
+            sum_acc = jnp.where(sub_end, sum_acc + acc_sub, sum_acc)
+            sub_ok = sub_end & ~(turning_sub | div_leaf)
+
+            # Biased progressive sampling across subtrees (Stan).
+            take_sub = sub_ok & (
+                jnp.log(jax.random.uniform(k_merge)) < (logw_sub - logw)
+            )
+            q_prop = jnp.where(take_sub, q_prop_sub, q_prop)
+            logw = jnp.where(sub_ok, jnp.logaddexp(logw, logw_sub), logw)
+
+            row = jnp.where(sub_ok, side, 2)
+            eq = eq.at[row].set(qc)
+            ep = ep.at[row].set(pc)
+            eg = eg.at[row].set(gc)
+            psum = jnp.where(sub_ok, psum + psum_sub, psum)
+
+            turn_total = sub_ok & (
+                (jnp.dot(psum, inv_mass * ep[0]) < 0.0)
+                | (jnp.dot(psum, inv_mass * ep[1]) < 0.0)
+            )
+            turning = turning | (sub_end & turning_sub) | turn_total
+            diverging = diverging | (sub_end & div_leaf)
+            depth = jnp.where(sub_end, depth + 1, depth)
+            i = jnp.where(sub_end, 0, i)
+
+            return (key_out, key_in, k_merge, direction, depth, i,
+                    qc, pc, gc, psum_sub, q_prop_sub, logw_sub, turning_sub,
+                    ckpt_v, ckpt_psum,
+                    eq, ep, eg,
+                    psum, q_prop, turning, diverging, logw, sum_acc,
+                    n_leaves, go_right, acc_sub)
+
+        init = (
+            key, key, key,                      # key_out, key_in, k_merge
+            jnp.ones((), dt),                   # direction
+            jnp.zeros((), jnp.int32),           # depth
+            jnp.zeros((), jnp.int32),           # i
+            q, p0, g0,                          # current point
+            jnp.zeros((d,), dt),                # psum_sub
+            q,                                  # q_prop_sub
+            jnp.asarray(-jnp.inf, dt),          # logw_sub
+            jnp.zeros((), bool),                # turning_sub
+            jnp.zeros((n_rows, d), dt),         # ckpt_v (row j: level j+1)
+            jnp.zeros((n_rows, d), dt),         # ckpt_psum
+            jnp.stack([q, q, q]),               # eq (left/right/scratch)
+            jnp.stack([p0, p0, p0]),            # ep
+            jnp.stack([g0, g0, g0]),            # eg
+            p0,                                 # psum (root leaf momentum)
+            q,                                  # q_prop
+            jnp.zeros((), bool),                # turning
+            jnp.zeros((), bool),                # diverging
+            jnp.zeros((), dt),                  # logw (root: H0 - H0 = 0)
+            jnp.zeros((), dt),                  # sum_acc
+            jnp.zeros((), jnp.int32),           # n_leaves
+            jnp.zeros((), bool),                # go_right
+            jnp.zeros((), dt),                  # acc_sub
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        q_new, diverging = out[19], out[21]
+        sum_acc, n_leaves = out[23], out[24]
         accept_stat = sum_acc / jnp.maximum(n_leaves, 1)
         return q_new, accept_stat, n_leaves, diverging
 

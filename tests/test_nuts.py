@@ -284,6 +284,44 @@ def test_one_potential_eval_per_leapfrog():
     assert int(count) == expected
 
 
+def test_flat_transition_matches_nested():
+    """The flat single-loop transition (shipped) must be bit-identical to the
+    nested two-loop reference formulation: same PRNG split schedule, same
+    float ops in the same order — across many sequential draws so edge
+    carries, subtree merges, early U-turn exits and max-depth exits are all
+    exercised."""
+    from robustbnns_tpu.inference.nuts import (
+        _nuts_transition,
+        _nuts_transition_nested,
+    )
+
+    mean = jnp.array([1.0, -2.0, 0.5])
+    scale = jnp.array([0.3, 2.0, 1.0])
+
+    def potential(q):
+        z = (q - mean) / scale
+        return 0.5 * jnp.sum(z * z) + 0.1 * jnp.sum(jnp.cos(q))
+
+    for max_depth, eps in [(6, 0.25), (2, 0.9)]:  # deep trees / depth exits
+        flat = jax.jit(_nuts_transition(potential, max_depth))
+        nested = jax.jit(_nuts_transition_nested(potential, max_depth))
+        inv_mass = jnp.array([1.0, 0.5, 2.0])
+
+        def run(transition):
+            q = jnp.zeros((3,))
+            outs = []
+            for s in range(40):
+                q, acc, n_lf, div = transition(
+                    q, jax.random.key(s), eps, inv_mass
+                )
+                outs.append((q, acc, n_lf, div))
+            return outs
+
+        for of, on in zip(run(flat), run(nested)):
+            for a, b in zip(of, on):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_trailing_zeros():
     from robustbnns_tpu.inference.nuts import _trailing_zeros
 
